@@ -1,0 +1,59 @@
+"""Generic utilities: run directories, (de)serialization, timing.
+
+Mirrors the roles of the reference's ``utils.py`` (check_folder
+:`utils.py:7-10`, save/load_dict :`utils.py:12-19`, timer :`utils.py:21-24`,
+dict2file/file2dict :`utils.py:172-186`) so datasets and result artifacts
+remain interchangeable.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import pickle
+import zlib
+
+
+def check_folder(save_dir: str) -> str:
+    """Create ``save_dir`` if missing and return it (utils.py:7-10)."""
+    os.makedirs(save_dir, exist_ok=True)
+    return save_dir
+
+
+def save_dict(d, filename: str) -> None:
+    """Pickle a dict to disk (utils.py:12-14)."""
+    with open(filename, "wb") as f:
+        pickle.dump(d, f)
+
+
+def load_dict(filename: str):
+    """Unpickle a dict from disk (utils.py:16-19)."""
+    with open(filename, "rb") as f:
+        return pickle.load(f)
+
+
+def timer(start: float, end: float) -> str:
+    """Format elapsed seconds as HH:MM:SS.ss (utils.py:21-24)."""
+    hours, rem = divmod(end - start, 3600)
+    minutes, seconds = divmod(rem, 60)
+    return "{:0>2}:{:0>2}:{:05.2f}".format(int(hours), int(minutes), seconds)
+
+
+def dict2file(dataset, path: str) -> None:
+    """Write a dataset dict as zlib-compressed pickle (utils.py:172-179).
+
+    Byte-compatible with the reference's ``.dat`` files, so pre-built
+    reference datasets can be loaded directly and vice versa.
+    """
+    buf = io.BytesIO()
+    pickle.dump(dataset, buf)
+    zbytes = zlib.compress(buf.getbuffer())
+    with open(path, "wb") as fd:
+        fd.write(zbytes)
+
+
+def file2dict(path: str):
+    """Read a zlib-compressed pickled dataset dict (utils.py:181-186)."""
+    with open(path, "rb") as fd:
+        zbytes = fd.read()
+    return pickle.loads(zlib.decompress(zbytes))
