@@ -1,0 +1,172 @@
+"""Shared building blocks with torch-parity initialization.
+
+The reference initializes every model under ``torch.manual_seed(4)``
+(train_model.py:293) with PyTorch default initializers.  Exact bit parity of
+init is impossible across RNGs, but *distributional* parity matters for the
+0.5-pt accuracy target, so convolutions/linears here use PyTorch's default
+scheme: kaiming-uniform(a=√5) weights — i.e. U(-1/√fan_in, 1/√fan_in) — and
+U(-1/√fan_in, 1/√fan_in) biases.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def _uniform_bound(fan_in: int):
+    return 1.0 / (fan_in**0.5) if fan_in > 0 else 0.0
+
+
+def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
+    """PyTorch Conv default: kaiming_uniform(a=√5) == U(±1/√fan_in).
+
+    flax Conv kernel shape is (k..., in_ch, out_ch): fan_in = in_ch * prod(k).
+    """
+    fan_in = math.prod(shape[:-1])
+    b = _uniform_bound(fan_in)
+    return jax.random.uniform(key, shape, dtype, -b, b)
+
+
+def make_torch_bias_init(fan_in: int):
+    b = _uniform_bound(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -b, b)
+
+    return init
+
+
+def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
+    """PyTorch Linear default on a (in, out) kernel."""
+    b = _uniform_bound(shape[0])
+    return jax.random.uniform(key, shape, dtype, -b, b)
+
+
+class Conv1d(nn.Module):
+    """1-D conv on (B, T, C) with explicit symmetric padding (torch-style)."""
+
+    features: int
+    kernel_size: int
+    padding: int | str = "SAME"
+    use_bias: bool = True
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad)]
+        fan_in = x.shape[-1] * self.kernel_size
+        return nn.Conv(
+            self.features,
+            (self.kernel_size,),
+            strides=(self.stride,),
+            padding=pad,
+            use_bias=self.use_bias,
+            kernel_init=torch_conv_kernel_init,
+            bias_init=make_torch_bias_init(fan_in),
+        )(x)
+
+
+class Conv2d(nn.Module):
+    """2-D conv on (B, H, W, C), torch-default init."""
+
+    features: int
+    kernel_size: int
+    padding: int | str = "SAME"
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad), (pad, pad)]
+        fan_in = x.shape[-1] * self.kernel_size * self.kernel_size
+        return nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            padding=pad,
+            use_bias=self.use_bias,
+            kernel_init=torch_conv_kernel_init,
+            bias_init=make_torch_bias_init(fan_in),
+        )(x)
+
+
+class Dense(nn.Module):
+    """Linear with torch-default init."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Dense(
+            self.features,
+            kernel_init=torch_linear_kernel_init,
+            bias_init=make_torch_bias_init(x.shape[-1]),
+        )(x)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm with torch defaults (momentum 0.1 torch == 0.9 ema, eps 1e-5)."""
+
+    use_running_average: bool
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.BatchNorm(
+            use_running_average=self.use_running_average,
+            momentum=0.9,
+            epsilon=1e-5,
+        )(x)
+
+
+def max_pool_1d(x, window: int):
+    """torch MaxPool1d(window): stride=window, floor division of length."""
+    t = x.shape[1]
+    x = x[:, : (t // window) * window]
+    return nn.max_pool(x, (window,), strides=(window,), padding="VALID")
+
+
+def max_pool_2d(x, window: int):
+    h, w = x.shape[1], x.shape[2]
+    x = x[:, : (h // window) * window, : (w // window) * window]
+    return nn.max_pool(x, (window, window), strides=(window, window), padding="VALID")
+
+
+def flatten_torch(x):
+    """Flatten (B, T, C) → (B, C*T) in torch's channel-major order, so the
+    classifier weight layout matches nn.Flatten applied to (B, C, T)."""
+    return jnp.transpose(x, (0, 2, 1)).reshape(x.shape[0], -1)
+
+
+def flatten_torch_2d(x):
+    """(B, H, W, C) → (B, C*H*W), torch order."""
+    return jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)
+
+
+class ConvBNAct(nn.Module):
+    """tsai-style ConvBlock: Conv(SAME, no bias) → BN → activation
+    (the building block of FCN/ResCNN/ResNet, see models.py:591-863)."""
+
+    features: int
+    kernel_size: int
+    act: Callable | None = nn.relu
+    train: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv1d(self.features, self.kernel_size, "SAME", use_bias=False)(x)
+        x = BatchNorm(use_running_average=not self.train)(x)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+def gap_1d(x):
+    """Global average pool over time: (B, T, C) → (B, C)."""
+    return jnp.mean(x, axis=1)

@@ -1,0 +1,101 @@
+"""Model factory keyed by the reference's model-name strings.
+
+Parity target: the model-selection ladder in train_model.py:294-386.  The
+tsai-zoo imports the reference wires in (InceptionTimePlus, XceptionTime,
+gMLP, XCM, RNN/LSTM/GRU, mWDN, OmniScaleCNN, XResNet1d, …) are third-party
+models outside the paper's experiments; the names used by the published
+results (resnet9*, Potes*, FCN, ResCNN, ResNet, Singstad_d*) are all
+implemented natively here.  Unimplemented tsai names raise with a clear
+message rather than silently substituting.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pcgmix_tpu.models.fcn import FCN
+from pcgmix_tpu.models.potes import POTES_PRESETS, PotesCNN
+from pcgmix_tpu.models.rescnn import ResCNN
+from pcgmix_tpu.models.resnet9 import RESNET9_PRESETS, ResNet9_1D
+from pcgmix_tpu.models.resnet9_2d import ResNet9_2D
+from pcgmix_tpu.models.resnet_ts import ResNetTS
+from pcgmix_tpu.models.singstad import SingstadInceptionTime
+
+_TSAI_ONLY = {
+    "ResNetPlus",
+    "XResNet1d18",
+    "XResNet1d18Plus",
+    "InceptionTime",
+    "InceptionTimePlus",
+    "XceptionTime",
+    "XceptionTimePlus",
+    "gMLP",
+    "XCM",
+    "XCMPlus",
+    "FCNPlus",
+    "RNN",
+    "LSTM",
+    "GRU",
+    "mWDN",
+    "OmniScaleCNN",
+}
+
+MODEL_NAMES = (
+    list(RESNET9_PRESETS)
+    + list(POTES_PRESETS)
+    + ["FCN", "FCN(custom)", "ResCNN", "ResNet", "Singstad_d3", "Singstad_d6", "Singstad_d10"]
+)
+
+
+def build_model(
+    name: str, dataset: str = "PhysioNet", num_classes: int = 2, train: bool = True
+) -> Any:
+    """Instantiate a model by its reference name (train_model.py:294-386).
+
+    ``dataset`` selects 2-D variants for spectrogram datasets and adjusts
+    nothing else — classifier sizes are shape-inferred.
+    """
+    if dataset in ("PhysioNet(spec128)", "UMC(spec128)", "UMC(spec64)"):
+        if name == "resnet9":
+            return ResNet9_2D(num_classes=num_classes, train=train)
+        raise ValueError(f"2-D dataset {dataset!r} supports model 'resnet9' only")
+    if name in RESNET9_PRESETS:
+        return ResNet9_1D(
+            num_classes=num_classes, filters=RESNET9_PRESETS[name], train=train
+        )
+    if name in POTES_PRESETS:
+        return PotesCNN(num_classes=num_classes, train=train, **POTES_PRESETS[name])
+    if name == "FCN":
+        return FCN(num_classes=num_classes, train=train)
+    if name == "FCN(custom)":
+        return FCN(num_classes=num_classes, layers=(64, 128, 64), train=train)
+    if name == "ResCNN":
+        return ResCNN(num_classes=num_classes, train=train)
+    if name == "ResNet":
+        return ResNetTS(num_classes=num_classes, train=train)
+    if name.startswith("Singstad_d"):
+        return SingstadInceptionTime(
+            num_classes=num_classes, depth_variant=int(name.split("_d")[1]), train=train
+        )
+    if name in _TSAI_ONLY:
+        raise NotImplementedError(
+            f"model {name!r} comes from the third-party tsai zoo in the reference "
+            "(train_model.py:306-384) and is not part of the published experiments; "
+            "use one of the native models: " + ", ".join(MODEL_NAMES)
+        )
+    raise ValueError(f"unknown model {name!r}; available: {', '.join(MODEL_NAMES)}")
+
+
+def max_latent_depth(name: str) -> int:
+    """Max depth for latentmixup's random depth draw (augmentations.py:1484-1494)."""
+    if name == "FCN":
+        return 4  # args.depth = 4 then overwritten by randint(1, max) — see below
+    if name == "Potes":
+        return 1
+    if name == "ResCNN":
+        return 5
+    if name == "resnet9":
+        return 3
+    if name.startswith("Singstad"):
+        return 3
+    return 3

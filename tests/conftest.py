@@ -16,8 +16,14 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax
 import numpy as np
 import pytest
+
+# Persistent compilation cache: XLA-CPU compiles are expensive on this
+# single-core machine; cache them across test runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 @pytest.fixture

@@ -10,7 +10,7 @@ from pcgmix_tpu import rng as prng
 from .conftest import make_frames
 from .oracles import cutmix_keepdur_oracle, mixup_keepdur_oracle
 
-B, C, T = 16, 4, 2500
+B, C, T = 8, 4, 1024
 
 
 def _batch(rng):

@@ -7,7 +7,7 @@ from pcgmix_tpu.ops import magnitude_warp, time_warp
 
 from .oracles import magnitude_warp_oracle, time_warp_oracle
 
-B, C, T = 8, 4, 2500
+B, C, T = 4, 4, 1024
 
 
 def test_magnitude_warp_matches_scipy(rng):
