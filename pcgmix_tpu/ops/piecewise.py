@@ -113,6 +113,29 @@ def piecewise_mix_batch(
     return jax.vmap(fn)(data, d2, dst_start, src_start, length, src_sel, alpha)
 
 
+@functools.partial(jax.jit, static_argnames=("base_is_d1",))
+def piecewise_mix_pairs(
+    data: jax.Array,
+    idx1: jax.Array,
+    idx2: jax.Array,
+    dst_start: jax.Array,
+    src_start: jax.Array,
+    length: jax.Array,
+    src_sel: jax.Array,
+    alpha: jax.Array,
+    *,
+    base_is_d1: bool = True,
+) -> jax.Array:
+    """Piecewise mix over explicit index pairs: output row i mixes
+    data[idx1[i]] with data[idx2[i]].  Output batch = len(idx1), which may
+    exceed the input batch (the lc-nointrusion 4× candidate pool,
+    augmentations.py:1236-1258)."""
+    d1 = jnp.take(data, idx1.astype(jnp.int32), axis=0)
+    d2 = jnp.take(data, idx2.astype(jnp.int32), axis=0)
+    fn = functools.partial(piecewise_mix, base_is_d1=base_is_d1)
+    return jax.vmap(fn)(d1, d2, dst_start, src_start, length, src_sel, alpha)
+
+
 def segment_blend_pieces(frames1, frames2, disp, lam_seg):
     """Build the (K=4,) piece arrays for keep-duration segment blending.
 

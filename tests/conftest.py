@@ -8,7 +8,9 @@ import os
 
 # Force-override: the ambient environment presets JAX_PLATFORMS to the
 # tunneled TPU platform; tests must run on the local CPU backend with a
-# virtual 8-device mesh.
+# virtual 8-device mesh.  Pytest plugins (jaxtyping) import jax BEFORE this
+# conftest runs, so the env var alone is not enough — also set the config
+# flag, which takes effect as long as no backend has been initialized yet.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -20,10 +22,21 @@ import jax
 import numpy as np
 import pytest
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
 # Persistent compilation cache: XLA-CPU compiles are expensive on this
 # single-core machine; cache them across test runs.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def pytest_sessionstart(session):
+    assert jax.default_backend() == "cpu", (
+        "tests must run on the CPU backend; a plugin initialized "
+        f"{jax.default_backend()!r} first"
+    )
+    assert jax.device_count() == 8
 
 
 @pytest.fixture
