@@ -1,0 +1,91 @@
+"""Packed in-memory dataset container shared by all loaders.
+
+Data contract (SURVEY.md §2.2): reference dataset dicts map
+``{'data': {band: [N × T]}, 'label': [N], 'frames': [N × 5], 'wav': [N],
+'sig_qual': [N], ('id', 'excluded' for UMC)}`` with a 'train'/'test' level
+for PhysioNet.  These dicts (zlib-pickles via utils.dict2file) load directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+
+# The four model input bands and the wide band, in channel order
+# (dataloader_physionet.py:29-35, :49-55).
+MODEL_BANDS = ("25-45", "45-80", "80-200", "200-400")
+WIDE_BAND = "25-400"
+
+
+def bands_to_channels(
+    data_dict: dict, num_channels: int, classical_space: bool = False
+) -> np.ndarray:
+    """Stack band arrays into (N, C, T) float32.
+
+    num_channels=1 → the wide 25-400 band alone (dataloader_physionet.py:29);
+    num_channels=4 → the four narrow bands (:30-35); classical_space adds the
+    wide band as a 5th channel (:49-55).
+    """
+    if num_channels == 1 and not classical_space:
+        return np.asarray(data_dict[WIDE_BAND], np.float32)[:, None, :]
+    bands = list(MODEL_BANDS)
+    if classical_space:
+        bands.append(WIDE_BAND)
+    return np.stack([np.asarray(data_dict[b], np.float32) for b in bands], axis=1)
+
+
+@dataclasses.dataclass
+class ArrayDataset:
+    """One split, fully materialized."""
+
+    data: np.ndarray  # (N, C, T) float32 or (N, 1, F, T) for spectrograms
+    label: np.ndarray  # (N,) int64
+    frames: np.ndarray  # (N, 5) int64
+    wav: np.ndarray  # (N,) object (recording names)
+    sig_qual: np.ndarray  # (N,) int64
+    ids: Optional[np.ndarray] = None  # UMC patient ids
+
+    def __len__(self) -> int:
+        return len(self.label)
+
+    def take(self, indices) -> "ArrayDataset":
+        indices = np.asarray(indices, dtype=np.int64)
+        return ArrayDataset(
+            data=self.data[indices],
+            label=self.label[indices],
+            frames=self.frames[indices],
+            wav=self.wav[indices],
+            sig_qual=self.sig_qual[indices],
+            ids=None if self.ids is None else self.ids[indices],
+        )
+
+    @classmethod
+    def from_dict(
+        cls,
+        d: dict,
+        num_channels: int,
+        classical_space: bool = False,
+        spectrogram: bool = False,
+    ) -> "ArrayDataset":
+        if spectrogram:
+            data = np.asarray(d["data"], np.float32)[:, None, :, :]
+        else:
+            data = bands_to_channels(d["data"], num_channels, classical_space)
+        return cls(
+            data=data,
+            label=np.asarray(d["label"], np.int64),
+            frames=np.asarray(d["frames"], np.int64),
+            wav=np.asarray(d["wav"], object),
+            sig_qual=np.asarray(d["sig_qual"], np.int64),
+            ids=np.asarray(d["id"], object) if "id" in d else None,
+        )
+
+    def unique_wavs(self) -> list:
+        seen, out = set(), []
+        for w in self.wav:
+            if w not in seen:
+                seen.add(w)
+                out.append(w)
+        return out

@@ -1,0 +1,12 @@
+"""Experiment management: run-dir naming, robust hyperparameter schedules,
+results reading (SURVEY.md §2 components 14-15)."""
+
+from pcgmix_tpu.exp.dirs import experiment_dir, experiment_already_done
+from pcgmix_tpu.exp.robust import hyperparameters_robust, SEED_DATA_GRIDS
+
+__all__ = [
+    "experiment_dir",
+    "experiment_already_done",
+    "hyperparameters_robust",
+    "SEED_DATA_GRIDS",
+]

@@ -1,0 +1,201 @@
+"""Input-gradient saliency subsystem (SURVEY.md §2 component 9).
+
+Parity targets: saliency.get_saliency_maps (saliency.py:20-116),
+saliency.saliency_map (:132-202), bin_tensor (:118-130).
+
+Differences by design:
+- gradients come from ``jax.grad`` of the correct-class score sum (identical
+  to backward(ones) through gathered scores, saliency.py:59-63);
+- the pretrained checkpoint is loaded ONCE per run via
+  :func:`make_pretrained_saliency_fn` instead of from disk on every batch
+  (saliency.py:37-50) — a pure inefficiency in the reference;
+- smoothing/normalization run on device; binning is tiny host work.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def gaussian_kernel(n: int = 11, sigma: float = 1.0) -> np.ndarray:
+    """Unnormalized Gaussian taps over [-n//2, n//2] (saliency.py:15-18)."""
+    r = np.arange(-(n // 2), n // 2 + 1, dtype=np.float64)
+    return (1.0 / (sigma * math.sqrt(2 * math.pi)) * np.exp(-(r**2) / (2 * sigma**2))).astype(
+        np.float32
+    )
+
+
+def _smooth_same(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """'same' 1-D convolution along the last axis of (B, T)."""
+    n = kernel.shape[0]
+    lhs = x[:, None, :]
+    rhs = kernel[None, None, :]
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding=[(n // 2, (n - 1) // 2)]
+    )
+    return out[:, 0, :]
+
+
+def _zero_tail(x: jax.Array, end: jax.Array) -> jax.Array:
+    t = jnp.arange(x.shape[-1])
+    return jnp.where(t[None, :] < end[:, None], x, 0.0)
+
+
+def _normalize01(x: jax.Array) -> jax.Array:
+    x = x - jnp.min(x, axis=-1, keepdims=True)
+    x = x / jnp.max(x, axis=-1, keepdims=True)
+    return jnp.nan_to_num(x, nan=0.0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model_apply", "n", "sigma", "post_zero_tail")
+)
+def _saliency_core(model_apply, params, batch_stats, data, target_hard, end,
+                   n: int, sigma: float, post_zero_tail: bool = True):
+    """|∂score_correct/∂x| → tail-zero → channel-sum → Gaussian smooth →
+    (tail-zero) → per-instance 0-1 normalize (saliency.py:53-91)."""
+
+    def score(d):
+        out = model_apply({"params": params, "batch_stats": batch_stats}, d)
+        return jnp.sum(out * target_hard)
+
+    g = jnp.abs(jax.grad(score)(data))
+    g = _zero_tail(g.reshape(g.shape[0], -1, g.shape[-1]), end)  # (B, C[·F], T)
+    sal = jnp.sum(g, axis=1)  # (B, T)
+    sal = _smooth_same(sal, jnp.asarray(gaussian_kernel(n, sigma)))
+    if post_zero_tail:
+        sal = _zero_tail(sal, end)
+    return _normalize01(sal)
+
+
+def saliency_maps(
+    model_eval,
+    params,
+    batch_stats,
+    data,
+    target_ohe,
+    frames,
+    dim: int = 1,
+    gauss_k_n: int = 101,
+) -> np.ndarray:
+    """(B, T) smoothed, normalized saliency maps (get_saliency_maps,
+    saliency.py:20-116).  For spectrograms (dim=2) the frequency axis is
+    summed together with channels (saliency.py:96-97) and the kernel is
+    n=11, σ=1."""
+    target_hard = jax.nn.one_hot(
+        jnp.argmax(target_ohe, axis=1), target_ohe.shape[1], dtype=data.dtype
+    )
+    end = jnp.asarray(np.asarray(frames)[:, -1])
+    n = gauss_k_n if dim == 1 else 11
+    sigma = (12.0 / 101.0) * gauss_k_n if dim == 1 else 1.0
+    sal = _saliency_core(
+        model_eval.apply, params, batch_stats, data, target_hard, end, n, sigma
+    )
+    return np.asarray(sal)
+
+
+def make_pretrained_saliency_fn(
+    cfg, checkpoint_dir_for: Callable[[str], str]
+) -> Callable[[int], Callable]:
+    """Build the salopt saliency provider.
+
+    ``checkpoint_dir_for(method)`` resolves the run directory of a pretrained
+    model for this configuration with its method swapped — the reference uses
+    'base' by default, or the robust-scheduled 'durratiomixup' /
+    'durmixmagwarp(0.2,4)' runs for the '-1'/'-2' variants (saliency.py:26-37).
+    The checkpoint loads once; the returned callable closes over it.
+    """
+    from pcgmix_tpu.models import build_model
+    from pcgmix_tpu.train.loop import load_checkpoint
+
+    @functools.lru_cache(maxsize=4)
+    def provider(salopt_model: int):
+        method = {0: "base", 1: "durratiomixup", 2: "durmixmagwarp(0.2,4)"}[
+            salopt_model
+        ]
+        ckpt_dir = checkpoint_dir_for(method)
+        model_eval = build_model(cfg.model, cfg.dataset, cfg.num_classes, train=False)
+        shape = (1, cfg.num_channels, cfg.sig_len)
+        restored = load_checkpoint(os.path.join(ckpt_dir, "model.msgpack"), model_eval, shape)
+
+        def fn(data, target_ohe, frames):
+            return saliency_maps(
+                model_eval,
+                restored["params"],
+                restored["batch_stats"],
+                data,
+                target_ohe,
+                frames,
+                dim=2 if cfg.spectrogram else 1,
+            )
+
+        return fn
+
+    return provider
+
+
+# --------------------------------------------------------------------------- #
+# In-training saliency + segment binning (saliency_map, saliency.py:132-202)
+# --------------------------------------------------------------------------- #
+
+SEGMENT_BINS = (1, 4, 1, 8)  # S1, systole, S2, diastole (saliency.py:177-196)
+
+
+def _interp_downsample(x: np.ndarray, bins: int) -> np.ndarray:
+    """torch F.interpolate(mode='linear', align_corners=False) downsample of a
+    1-D array to `bins` values (bin_tensor, saliency.py:122-123)."""
+    L = len(x)
+    if L == 0:
+        return np.zeros(bins, x.dtype)
+    pos = (np.arange(bins) + 0.5) * (L / bins) - 0.5
+    pos = np.clip(pos, 0, L - 1)
+    return np.interp(pos, np.arange(L), x)
+
+
+def training_saliency_bins(
+    model_eval, params, batch_stats, data, target_ohe, frames
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-segment-binned saliency of the *current* model for saliency-cutmix
+    (saliency.py:132-202: the effective smoothing kernel is the LAST of the
+    three successive assignments, n=57 σ=7.54).
+
+    Returns (bin_values (B, 14), bin_frames (B, 15)).
+    """
+    target_hard = jax.nn.one_hot(
+        jnp.argmax(target_ohe, axis=1), target_ohe.shape[1], dtype=data.dtype
+    )
+    frames = np.asarray(frames)
+    end = jnp.asarray(frames[:, -1])
+    # the reference's in-training variant ends up with kernel n=57, σ=7.54
+    # (the last of three successive kernel assignments, saliency.py:154-157)
+    # and does NOT re-zero the tail after smoothing (saliency.py:158-166)
+    sal = np.asarray(
+        _saliency_core(
+            model_eval.apply, params, batch_stats, data, target_hard, end,
+            57, 7.54, post_zero_tail=False,
+        )
+    )
+    B = sal.shape[0]
+    nbins = sum(SEGMENT_BINS)
+    bin_values = np.zeros((B, nbins), np.float32)
+    bin_frames = np.zeros((B, nbins + 1), np.int64)
+    for i in range(B):
+        col = 0
+        for k, nb in enumerate(SEGMENT_BINS):
+            seg = sal[i, frames[i, k] : frames[i, k + 1]]
+            vals = _interp_downsample(seg, nb)
+            L = len(seg)
+            samples_per_bin = int(np.ceil(L / nb)) if L else 0
+            for j in range(nb):
+                bin_values[i, col] = vals[j]
+                bin_frames[i, col] = frames[i, k] + j * samples_per_bin
+                col += 1
+        bin_frames[i, -1] = frames[i, 4]
+    return bin_values, bin_frames

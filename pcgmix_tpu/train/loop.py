@@ -1,0 +1,381 @@
+"""The training loop — functional equivalent of train_model
+(train_model.py:197-488) rebuilt around jitted steps.
+
+Per-batch flow: host builds the augmentation plan (tiny, reference-exact
+RNG), then ONE jitted step runs augment+forward+loss+update on device.
+Metrics are recorded at the reference's 11 linspaced "plot epochs"
+(train_model.py:424-426) into the same performance-dict schema, pickled to
+``performance.pkl`` in a run directory with the reference naming contract.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pcgmix_tpu import utils
+from pcgmix_tpu.augment.engine import AugmentConfig, AugmentEngine
+from pcgmix_tpu.data import EpochIterator, eval_batches, physionet_split, umc_split
+from pcgmix_tpu.exp.dirs import experiment_dir
+from pcgmix_tpu.models import build_model
+from pcgmix_tpu.train.losses import init_selc_table
+from pcgmix_tpu.train.metrics import (
+    PerformanceTracker,
+    recording_level_eval,
+    segment_accuracy,
+)
+from pcgmix_tpu.train.steps import (
+    TrainState,
+    make_eval_step,
+    make_forward_loss,
+    make_optimizer,
+    make_train_step,
+)
+
+SPECTROGRAM_DATASETS = ("PhysioNet(spec128)", "UMC(spec128)", "UMC(spec64)")
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """The reference args namespace as a typed config
+    (experiments_timeseries.ipynb cell 4 defaults)."""
+
+    dataset: str = "PhysioNet"
+    model: str = "resnet9"
+    method: str = "base"
+    num_epochs: int = 50
+    batch_size: int = 64
+    n_fraction: float = 1.0
+    op: str = "adam"
+    use_sched: bool = True
+    lr_max: float = 0.01
+    train_balance: bool = True
+    num_channels: int = 4
+    grad_clip: float = 0.1
+    seed_data: int = 1100001
+    valid: bool = False
+    seed: int = 1
+    seed_fix: int = 4
+    weight_decay: float = 1e-4
+    sample_rate: int = 1000
+    num_classes: int = 2
+    sig_len: int = 2500
+    experiments_root: str = "experiments"
+    latent_space: bool = False
+    classical_space: bool = False
+    loader_parity: str = "torch"  # epoch-order parity mode
+    save_artifacts: bool = True
+    eval_batch_size: int = 1000
+    cvd_map: Optional[dict] = None
+
+    @property
+    def spectrogram(self) -> bool:
+        return self.dataset in SPECTROGRAM_DATASETS
+
+
+def build_splits(cfg: TrainConfig, dataset: dict):
+    """Train/test(/valid) split resolution (train_model.py:228-256)."""
+    common = dict(
+        num_channels=cfg.num_channels,
+        seed_data=cfg.seed_data,
+        seed=cfg.seed,
+        valid=cfg.valid,
+        classical_space=cfg.classical_space,
+        spectrogram=cfg.spectrogram,
+    )
+    if cfg.dataset.startswith("PhysioNet"):
+        train = physionet_split(
+            dataset, "train", n_fraction=cfg.n_fraction,
+            train_balance=cfg.train_balance, **common,
+        )
+        test = physionet_split(
+            dataset, "valid" if cfg.valid else "test",
+            n_fraction=cfg.n_fraction, train_balance=cfg.train_balance, **common,
+        )
+    elif cfg.dataset.startswith("UMC"):
+        common.pop("classical_space")
+        train = umc_split(dataset, "train", classical_space=cfg.classical_space, **common)
+        test = umc_split(dataset, "valid" if cfg.valid else "test", **common)
+    else:
+        raise ValueError(f"unknown dataset {cfg.dataset!r}")
+    return train, test
+
+
+def _selc_turnpoint(cfg: TrainConfig) -> int:
+    """SELC activates after 40% of epochs when 'SELC' is in the method,
+    otherwise never (train_model.py:394-401)."""
+    if "SELC" in cfg.method:
+        return int(cfg.num_epochs * 0.4)
+    return cfg.num_epochs + 1
+
+
+def init_state(cfg: TrainConfig, model, train_ds, tx) -> TrainState:
+    sample = jnp.zeros((1,) + train_ds.data.shape[1:], jnp.float32)
+    variables = model.init(jax.random.PRNGKey(cfg.seed_fix), sample)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        soft_labels=init_selc_table(train_ds.label, cfg.num_classes),
+        step=jnp.asarray(0, jnp.int32),
+    )
+
+
+def train_model(
+    cfg: TrainConfig,
+    dataset: dict,
+    *,
+    saliency_model_provider: Optional[Callable] = None,
+    latent_feature_fn: Optional[Callable] = None,
+    progress: bool = False,
+) -> dict:
+    """Train one configuration end-to-end; returns the performance dict.
+
+    saliency_model_provider(salopt_model:int) → callable(data, target,
+    frames) → (B, T) saliency maps, for the (salopt…) methods; see
+    pcgmix_tpu.saliency.make_pretrained_saliency_fn.
+    latent_feature_fn(data) → (B, D) embeddings for closestknn/bins pairing.
+    """
+    run_dir = None
+    if cfg.save_artifacts:
+        run_dir = utils.check_folder(experiment_dir(cfg))
+
+    train_ds, test_ds = build_splits(cfg, dataset)
+    steps_per_epoch = len(train_ds) // cfg.batch_size
+    num_steps = cfg.num_epochs * steps_per_epoch
+    if num_steps == 0:
+        raise ValueError("train split smaller than one batch")
+
+    model = build_model(cfg.model, cfg.dataset, cfg.num_classes, train=True)
+    model_eval = build_model(cfg.model, cfg.dataset, cfg.num_classes, train=False)
+
+    tx = make_optimizer(
+        cfg.op, cfg.lr_max, cfg.weight_decay, cfg.grad_clip, num_steps, cfg.use_sched
+    )
+    state = init_state(cfg, model, train_ds, tx)
+
+    engine = AugmentEngine(
+        AugmentConfig(
+            method=cfg.method,
+            batch_size=cfg.batch_size,
+            num_channels=cfg.num_channels,
+            sig_len=train_ds.data.shape[-1],
+            num_classes=cfg.num_classes,
+            sample_rate=cfg.sample_rate,
+            spectrogram=cfg.spectrogram,
+            spec_freq=train_ds.data.shape[-2] if cfg.spectrogram else 0,
+            model=cfg.model,
+            cvd_map=cfg.cvd_map,
+        )
+    )
+    selc_es = _selc_turnpoint(cfg)
+    step_plain = make_train_step(model, tx, selc_es=selc_es)
+    step_aug = (
+        make_train_step(model, tx, selc_es=selc_es, engine=engine)
+        if engine.enabled
+        else None
+    )
+    latent_steps: dict = {}  # depth → jitted step (latentmixup/manifold)
+    eval_step = make_eval_step(model_eval)
+    cand_loss_fn = make_forward_loss(model_eval)
+
+    saliency_fn = None
+    if engine.needs_pretrained_saliency:
+        if saliency_model_provider is None:
+            raise ValueError(
+                f"method {cfg.method!r} needs a pretrained saliency model; pass "
+                "saliency_model_provider (see pcgmix_tpu.saliency)"
+            )
+
+    from pcgmix_tpu import saliency as saliency_mod
+
+    perf = PerformanceTracker()
+    epoch_plot = np.array(sorted(set(np.linspace(1, cfg.num_epochs, 11).astype(int))))
+    base_key = jax.random.PRNGKey(cfg.seed_fix)
+    step_count = 0
+    times: list[float] = []
+    lr_per_step: list[float] = []
+    done = False
+
+    for epoch in range(1, cfg.num_epochs + 1):
+        t0 = time.time()
+        epoch_losses: list[float] = []
+        epoch_preds: list[np.ndarray] = []
+        epoch_targets: list[np.ndarray] = []
+        it = EpochIterator(
+            train_ds, cfg.batch_size, cfg.seed, step_count, cfg.loader_parity
+        )
+        for batch in it:
+            target_ohe = np.eye(cfg.num_classes, dtype=np.float32)[batch["label"]]
+            dev_batch = {
+                "data": jnp.asarray(batch["data"]),
+                "target_ohe": jnp.asarray(target_ohe),
+                "indices": jnp.asarray(batch["indices"]),
+            }
+            rng = jax.random.fold_in(base_key, step_count)
+
+            plan = None
+            if engine.enabled:
+                plan = engine.plan(
+                    step_count,
+                    batch["frames"],
+                    batch["label"],
+                    batch["wav"],
+                    latent_fn=(
+                        (lambda: latent_feature_fn(dev_batch["data"]))
+                        if latent_feature_fn
+                        else None
+                    ),
+                    saliency_fn=(
+                        (
+                            lambda mix_model: saliency_model_provider(mix_model)(
+                                dev_batch["data"],
+                                dev_batch["target_ohe"],
+                                batch["frames"],
+                            )
+                        )
+                        if saliency_model_provider
+                        else None
+                    ),
+                    saliency_bins_fn=lambda: saliency_mod.training_saliency_bins(
+                        model_eval,
+                        state.params,
+                        state.batch_stats,
+                        dev_batch["data"],
+                        dev_batch["target_ohe"],
+                        batch["frames"],
+                    ),
+                )
+
+            if plan is None:
+                state, out = step_plain(state, dev_batch, None, epoch, rng)
+            elif engine.spec.base == "lc-nointrusion":
+                cands, cand_t = engine.apply(
+                    dev_batch["data"], dev_batch["target_ohe"], plan.arrays
+                )
+                losses = np.asarray(
+                    cand_loss_fn(state.params, state.batch_stats, cands, cand_t)
+                )
+                sel = engine.lc_select(
+                    losses, plan.aux["cand_labels"], plan.aux["n_per_class"]
+                )
+                sel_batch = {
+                    "data": jnp.take(cands, jnp.asarray(sel), axis=0),
+                    "target_ohe": jnp.take(cand_t, jnp.asarray(sel), axis=0),
+                    "indices": jnp.asarray(plan.arrays["idx1"][sel]),
+                }
+                state, out = step_plain(state, sel_batch, None, epoch, rng)
+            elif plan.latent_depth is not None:
+                d = plan.latent_depth
+                if d not in latent_steps:
+                    latent_steps[d] = make_train_step(
+                        model,
+                        tx,
+                        selc_es=selc_es,
+                        engine=engine,
+                        latent_depth=d,
+                        manifold=engine.spec.manifold,
+                        model_eval=model_eval,
+                    )
+                state, out = latent_steps[d](state, dev_batch, plan.arrays, epoch, rng)
+            else:
+                state, out = step_aug(state, dev_batch, plan.arrays, epoch, rng)
+
+            epoch_losses.append(float(out["loss"]))
+            epoch_preds.append(np.asarray(out["preds"]))
+            epoch_targets.append(np.asarray(out["target"]))
+            if cfg.use_sched:
+                from pcgmix_tpu.train.schedule import onecycle_lr
+
+                lr_per_step.append(float(onecycle_lr(num_steps, cfg.lr_max)(step_count)))
+            else:
+                lr_per_step.append(cfg.lr_max)
+            step_count += 1
+            if step_count >= num_steps:
+                done = True
+                break
+
+        times.append(time.time() - t0)
+        if epoch in epoch_plot:
+            perf.add("epochs", epoch)
+            perf.add("steps", step_count)
+            perf.add("train_loss", float(np.mean(epoch_losses)))
+            perf.add(
+                "train_accuracy",
+                segment_accuracy(
+                    np.concatenate(epoch_preds), np.concatenate(epoch_targets)
+                ),
+            )
+            evaluate(cfg, eval_step, state, test_ds, perf, engine.spec.class_majority)
+            perf.add("times", float(np.sum(times)))
+            if progress:
+                print(
+                    f"epoch {epoch}: train_acc={perf.dict['train_accuracy'][-1]:.2f} "
+                    f"test_acc={perf.dict['test_accuracy'][-1]:.2f}"
+                )
+            if run_dir:
+                utils.save_dict(perf.dict, os.path.join(run_dir, "performance.pkl"))
+        if done:
+            break
+
+    if run_dir:
+        save_checkpoint(os.path.join(run_dir, "model.msgpack"), state)
+    perf.dict["lr_per_step"] = lr_per_step
+    return perf.dict
+
+
+def evaluate(cfg, eval_step, state, test_ds, perf, class_majority=False):
+    """Recording-level test pass (test_data_accuracy, train_model.py:591-670)."""
+    probs_all, loss_sum, labels, wavs, n = [], 0.0, [], [], 0
+    for batch in eval_batches(test_ds, cfg.eval_batch_size):
+        target_ohe = np.eye(cfg.num_classes, dtype=np.float32)[batch["label"]]
+        probs, losses = eval_step(
+            state.params, state.batch_stats, jnp.asarray(batch["data"]),
+            jnp.asarray(target_ohe),
+        )
+        mask = batch["mask"]
+        probs_all.append(np.asarray(probs)[mask])
+        loss_sum += float(np.asarray(losses)[mask].sum())
+        labels.append(batch["label"][mask])
+        wavs.append(batch["wav"][mask])
+        n += int(mask.sum())
+    probs_all = np.concatenate(probs_all)
+    metrics = recording_level_eval(
+        probs_all, np.concatenate(labels), np.concatenate(wavs), class_majority
+    )
+    perf.add("test_loss", loss_sum / max(n, 1))
+    for k, v in metrics.items():
+        perf.add(k, v)
+
+
+def save_checkpoint(path: str, state: TrainState) -> None:
+    """Final weights (train_model.py:481-482 analogue): params + batch_stats
+    as flax msgpack."""
+    from flax import serialization
+
+    payload = {"params": state.params, "batch_stats": state.batch_stats}
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(payload))
+
+
+def load_checkpoint(path: str, model, sample_shape) -> dict:
+    """Restore {'params', 'batch_stats'} for a model by shape inference."""
+    from flax import serialization
+
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros(sample_shape, jnp.float32)
+    )
+    template = {
+        "params": variables["params"],
+        "batch_stats": variables.get("batch_stats", {}),
+    }
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())

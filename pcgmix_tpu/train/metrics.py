@@ -1,0 +1,99 @@
+"""Recording-level evaluation metrics.
+
+Parity target: test_data_accuracy (train_model.py:591-670) — test metrics
+are computed at the *recording* level: per-segment softmax probabilities are
+grouped by wav, averaged, and argmaxed (default), or majority-voted with
+ties going to abnormal under '(class_majority)' (train_model.py:633-646).
+Train accuracy stays at segment level (calc_acc, train_model.py:672-688).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+from sklearn.metrics import (
+    confusion_matrix,
+    f1_score,
+    precision_score,
+    recall_score,
+    roc_auc_score,
+)
+
+
+def recording_level_eval(
+    probs: np.ndarray,
+    labels: np.ndarray,
+    wavs: Sequence,
+    class_majority: bool = False,
+) -> dict:
+    """Aggregate per-segment probabilities into per-recording predictions and
+    compute the reference metric set.
+
+    probs: (N, C) softmax probabilities; labels: (N,); wavs: (N,) names.
+    """
+    by_wav: dict = {}
+    target_by_wav: dict = {}
+    for p, t, w in zip(probs, labels, wavs):
+        by_wav.setdefault(w, []).append(p)
+        target_by_wav.setdefault(w, int(t))
+
+    wav_targets, wav_preds, wav_probs = [], [], []
+    for w, plist in by_wav.items():
+        arr = np.asarray(plist)
+        mean = arr.mean(axis=0)
+        wav_probs.append(mean)
+        if class_majority:
+            votes = np.bincount(arr.argmax(axis=1), minlength=2)
+            pred = int(votes.argmax())
+            if votes.shape[0] == 2 and votes[0] == votes[1]:
+                pred = 1  # tie → abnormal (train_model.py:642-643)
+        else:
+            pred = int(mean.argmax())
+        wav_preds.append(pred)
+        wav_targets.append(target_by_wav[w])
+
+    wav_targets = np.asarray(wav_targets)
+    wav_preds = np.asarray(wav_preds)
+    wav_probs = np.asarray(wav_probs)
+
+    acc = float(np.mean(wav_targets == wav_preds) * 100.0)
+    tn, fp, fn, tp = confusion_matrix(wav_targets, wav_preds, labels=[0, 1]).ravel()
+    out = {
+        "test_accuracy": acc,
+        "test_specificity": float(tn / max(tn + fp, 1) * 100.0),
+        "test_sensitivity": float(tp / max(tp + fn, 1) * 100.0),
+        "test_f1": float(f1_score(wav_targets, wav_preds, zero_division=0)),
+        "test_precision": float(
+            precision_score(wav_targets, wav_preds, zero_division=0)
+        ),
+        "test_recall": float(recall_score(wav_targets, wav_preds, zero_division=0)),
+    }
+    try:
+        out["test_rocauc"] = float(roc_auc_score(wav_targets, wav_probs[:, 1]))
+    except ValueError:  # single-class eval split (tiny synthetic data)
+        out["test_rocauc"] = float("nan")
+    return out
+
+
+def segment_accuracy(preds: np.ndarray, targets: np.ndarray) -> float:
+    """Train (segment-level) accuracy in percent (calc_acc semantics,
+    train_model.py:672-688)."""
+    return float(np.mean(np.asarray(preds) == np.asarray(targets)) * 100.0)
+
+
+class PerformanceTracker:
+    """The reference's performance dict (train_model.py:178-195), pickled at
+    each plot epoch (train_model.py:476-478)."""
+
+    KEYS = (
+        "steps", "epochs", "times", "train_loss", "train_accuracy",
+        "test_loss", "test_accuracy", "test_specificity", "test_sensitivity",
+        "test_precision", "test_recall", "test_f1", "test_rocauc",
+    )
+
+    def __init__(self):
+        self.dict = {k: [] for k in self.KEYS}
+
+    def add(self, key: str, value):
+        self.dict[key].append(value)

@@ -1,0 +1,180 @@
+"""Jitted train/eval steps.
+
+One train step fuses: (optional) on-device augmentation apply → forward →
+soft-target CE / SELC → gradient value-clipping → OneCycle Adam/SGD update →
+SELC table scatter.  This replaces the reference's per-batch sequence of
+host-driven stages (train_model.py:498-582) with a single XLA program; the
+only per-step host work is the O(batch) plan and the metric pulls.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from pcgmix_tpu.train.losses import selc_update, soft_target_ce
+from pcgmix_tpu.train.schedule import onecycle_beta1, onecycle_lr
+
+
+class TrainState(flax.struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    soft_labels: jax.Array  # (N_train, C) SELC table
+    step: jax.Array  # int32 global step counter
+
+
+def make_optimizer(
+    op: str,
+    lr_max: float,
+    weight_decay: float,
+    grad_clip: float,
+    num_steps: int,
+    use_sched: bool,
+) -> optax.GradientTransformation:
+    """torch-parity optimizer chain (train_model.py:404-412).
+
+    clip_grad_value_ runs before the optimizer (train_model.py:557-558) →
+    clip first; torch Adam/SGD add weight decay to the gradient → decayed
+    weights before the moment update; OneCycleLR also cycles Adam's β₁
+    (cycle_momentum default) → β₁ schedule via inject_hyperparams.
+    """
+    parts = []
+    if grad_clip:
+        parts.append(optax.clip(grad_clip))
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    lr = onecycle_lr(num_steps, lr_max) if use_sched else lr_max
+    if op == "adam":
+        if use_sched:
+            parts.append(
+                optax.inject_hyperparams(optax.scale_by_adam)(
+                    b1=onecycle_beta1(num_steps)
+                )
+            )
+        else:
+            parts.append(optax.scale_by_adam())
+    elif op == "SGD":
+        pass  # plain SGD: update is just the (decayed, clipped) gradient
+    else:
+        raise ValueError(f"unknown optimizer {op!r} (use 'adam' or 'SGD')")
+    parts.append(optax.scale_by_learning_rate(lr))
+    return optax.chain(*parts)
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    *,
+    selc_es: int,
+    engine=None,
+    latent_depth: Optional[int] = None,
+    manifold: bool = False,
+    model_eval=None,
+    donate: bool = True,
+) -> Callable:
+    """Build a jitted train step.
+
+    engine=None → plain step.  With an engine: input-space methods apply the
+    plan to the batch before the forward; latent_depth selects the
+    latentmixup/manifold split-forward variant (one compilation per depth,
+    like the reference's per-depth code paths, augmentations.py:1494,
+    :1527-1531).  ``manifold`` runs the first pass in eval mode without
+    gradients (augmentations.py:1525-1534); latentmixup keeps the first pass
+    differentiable and in train mode (augmentations.py:1495).
+    """
+
+    def loss_fn(params, batch_stats, soft_labels, batch, plan, epoch, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        data = batch["data"]
+        target = batch["target_ohe"]
+        rngs = {"dropout": rng}
+        if engine is not None and latent_depth is None:
+            data, target = engine.apply(data, target, plan)
+        if latent_depth is not None:
+            if manifold:
+                latent = model_eval.apply(
+                    variables, data, depth=latent_depth, part="first"
+                )
+                latent = jax.lax.stop_gradient(latent)
+                bs1 = batch_stats
+            else:
+                latent, mut = model.apply(
+                    variables,
+                    data,
+                    depth=latent_depth,
+                    part="first",
+                    mutable=["batch_stats"],
+                    rngs=rngs,
+                )
+                bs1 = mut["batch_stats"]
+            latent, target = engine.apply(latent, target, plan)
+            out, mut2 = model.apply(
+                {"params": params, "batch_stats": bs1},
+                latent,
+                depth=latent_depth,
+                part="second",
+                mutable=["batch_stats"],
+                rngs=rngs,
+            )
+            new_bs = mut2["batch_stats"]
+        else:
+            out, mut = model.apply(
+                variables, data, mutable=["batch_stats"], rngs=rngs
+            )
+            new_bs = mut["batch_stats"]
+        loss, new_soft = selc_update(
+            soft_labels, out, target, batch["indices"], epoch, selc_es
+        )
+        preds = jnp.argmax(out, axis=1)
+        tlabels = jnp.argmax(target, axis=1)
+        return loss, (new_bs, new_soft, preds, tlabels)
+
+    def step(state: TrainState, batch: dict, plan, epoch, rng):
+        (loss, (new_bs, new_soft, preds, tlabels)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, state.soft_labels, batch, plan, epoch, rng)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            soft_labels=new_soft,
+            step=state.step + 1,
+        )
+        return new_state, {"loss": loss, "preds": preds, "target": tlabels}
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def make_eval_step(model_eval) -> Callable:
+    """Jitted eval step: softmax probabilities + per-sample CE
+    (test_data_accuracy, train_model.py:600-620)."""
+
+    def step(params, batch_stats, data, target_ohe):
+        out = model_eval.apply({"params": params, "batch_stats": batch_stats}, data)
+        probs = jax.nn.softmax(out, axis=1)
+        logp = jax.nn.log_softmax(out, axis=1)
+        losses = -jnp.sum(logp * target_ohe, axis=1)
+        return probs, losses
+
+    return jax.jit(step)
+
+
+def make_forward_loss(model_eval) -> Callable:
+    """Per-sample losses of a candidate pool (lc-nointrusion scoring,
+    augmentations.py:1264-1266 via custom_loss)."""
+
+    def fwd(params, batch_stats, data, target_ohe):
+        out = model_eval.apply({"params": params, "batch_stats": batch_stats}, data)
+        logp = jax.nn.log_softmax(out, axis=1)
+        return -jnp.sum(logp * target_ohe, axis=1)
+
+    return jax.jit(fwd)
