@@ -1,0 +1,223 @@
+"""Benchmark: PCGmix+ (durmixmagwarp) augmented training throughput.
+
+Measures the full training-step pipeline — host plan (reference-exact RNG) +
+jitted augment/forward/backward/update — for the headline configuration
+(1-D ResNet9, batch 64, 4×2500 inputs, durmixmagwarp(0.2,4); BASELINE.md) on
+the available accelerator, and compares against a faithful CPU emulation of
+the reference's per-sample hot loop (torch model + python slice loop +
+per-sample scipy CubicSpline magnitude warp, augmentations.py:970-977,
+:924-928).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "samples/sec/chip", "vs_baseline": N}
+
+The CPU baseline is cached in .bench_cpu_baseline.json (single-core CPU
+steps take minutes; delete the file to re-measure).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+BATCH = 64
+SIG_LEN = 2500
+CHANNELS = 4
+MEASURE_STEPS = 30
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cpu_baseline.json")
+CACHE_KEY = f"resnet9-b{BATCH}-t{SIG_LEN}-c{CHANNELS}-durmixmagwarp"
+
+
+def _make_batches(num_steps: int):
+    from pcgmix_tpu.data import physionet_split, synthetic_physionet_dict
+
+    # enough cycles for num_steps full batches after the ~5% sig_qual drop
+    n_wavs = max(8, int(np.ceil(num_steps * BATCH / 8 * 1.15)))
+    dataset = synthetic_physionet_dict(
+        num_wavs_train=n_wavs, num_wavs_test=2, segments_per_wav=8,
+        sig_len=SIG_LEN, seed=0,
+    )
+    ds = physionet_split(dataset, "train", train_balance=False)
+    assert len(ds) >= num_steps * BATCH, len(ds)
+    return ds
+
+
+def bench_tpu() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from pcgmix_tpu.augment.engine import AugmentConfig, AugmentEngine
+    from pcgmix_tpu.data import EpochIterator
+    from pcgmix_tpu.models import build_model
+    from pcgmix_tpu.train.losses import init_selc_table
+    from pcgmix_tpu.train.steps import TrainState, make_optimizer, make_train_step
+
+    train_ds = _make_batches(MEASURE_STEPS + 5)
+    model = build_model("resnet9", train=True)
+    num_steps = MEASURE_STEPS + 5
+    tx = make_optimizer("adam", 0.01, 1e-4, 0.1, num_steps, use_sched=True)
+    variables = model.init(
+        jax.random.PRNGKey(4), jnp.zeros((1, CHANNELS, SIG_LEN), jnp.float32)
+    )
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        soft_labels=init_selc_table(train_ds.label, 2),
+        step=jnp.asarray(0, jnp.int32),
+    )
+    engine = AugmentEngine(
+        AugmentConfig(
+            method="durmixmagwarp(0.2,4)", batch_size=BATCH,
+            num_channels=CHANNELS, sig_len=SIG_LEN, model="resnet9",
+        )
+    )
+    step = make_train_step(model, tx, selc_es=999, engine=engine)
+    key = jax.random.PRNGKey(0)
+
+    def run_steps(n, start):
+        nonlocal state
+        it = EpochIterator(train_ds, BATCH, seed=1, step_count=start, parity="numpy")
+        count = 0
+        for batch in it:
+            sc = start + count
+            plan = engine.plan(sc, batch["frames"], batch["label"], batch["wav"])
+            dev_batch = {
+                "data": jnp.asarray(batch["data"]),
+                "target_ohe": jnp.asarray(
+                    np.eye(2, dtype=np.float32)[batch["label"]]
+                ),
+                "indices": jnp.asarray(batch["indices"]),
+            }
+            state, out = step(
+                state, dev_batch, plan.arrays, 1, jax.random.fold_in(key, sc)
+            )
+            count += 1
+            if count >= n:
+                break
+        jax.block_until_ready(state.params)
+        return count
+
+    run_steps(3, 0)  # warmup / compile
+    t0 = time.time()
+    n = run_steps(MEASURE_STEPS, 3)
+    dt = time.time() - t0
+    return n * BATCH / dt
+
+
+def bench_cpu_reference() -> float:
+    """Faithful reference-style CPU hot loop: per-sample python slice mixing,
+    per-sample-per-channel scipy CubicSpline magnitude warp, torch fwd/bwd."""
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            cached = json.load(f)
+        if cached.get("key") == CACHE_KEY:
+            return cached["samples_per_sec"]
+
+    import torch
+    import torch.nn as nn
+    from scipy.interpolate import CubicSpline
+
+    torch.set_num_threads(os.cpu_count() or 1)
+
+    def conv_block(ci, co, pool=False):
+        layers = [nn.Conv1d(ci, co, 3, padding=1), nn.BatchNorm1d(co), nn.ReLU()]
+        if pool:
+            layers.append(nn.MaxPool1d(2))
+        return nn.Sequential(*layers)
+
+    class ResNet9Torch(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.c1 = conv_block(CHANNELS, 64)
+            self.c2 = conv_block(64, 128, True)
+            self.r1 = nn.Sequential(conv_block(128, 128), conv_block(128, 128))
+            self.c3 = conv_block(128, 256, True)
+            self.c4 = conv_block(256, 512, True)
+            self.r2 = nn.Sequential(conv_block(512, 512), conv_block(512, 512))
+            self.pool = nn.MaxPool1d(4)
+            self.fc = nn.Linear(39936, 2)
+
+        def forward(self, x):
+            x = self.c2(self.c1(x))
+            x = self.r1(x) + x
+            x = self.c4(self.c3(x))
+            x = self.r2(x) + x
+            return self.fc(torch.flatten(self.pool(x), 1))
+
+    train_ds = _make_batches(2)
+    model = ResNet9Torch()
+    opt = torch.optim.Adam(model.parameters(), lr=0.01, weight_decay=1e-4)
+
+    def aug_reference_style(data: torch.Tensor, frames: np.ndarray) -> torch.Tensor:
+        b = data.shape[0]
+        mix = np.random.permutation(b)
+        lam = float(np.random.beta(1, 1))
+        out = torch.zeros_like(data)
+        # per-sample per-segment slice blending (augmentations.py:289-304 style)
+        for i in range(b):
+            d = data[i].clone()
+            f1, f2 = frames[i], frames[mix[i]]
+            for k in range(4):
+                L = min(f1[k + 1] - f1[k], f2[k + 1] - f2[k])
+                d[:, f1[k] : f1[k] + L] = (
+                    d[:, f1[k] : f1[k] + L] * lam
+                    + data[mix[i]][:, f2[k] : f2[k] + L] * (1 - lam)
+                )
+            out[i] = d
+        # per-sample per-channel CubicSpline magnitude warp
+        # (augmentations.py:674-683, :924-928 style)
+        x = out.numpy().transpose(0, 2, 1)
+        steps = np.linspace(0, x.shape[1] - 1.0, 6)
+        warps = np.random.normal(1.0, 0.2, (b, 6, x.shape[2]))
+        orig = np.arange(x.shape[1])
+        ret = np.zeros_like(x)
+        for i in range(b):
+            warper = np.array(
+                [CubicSpline(steps, warps[i, :, c])(orig) for c in range(x.shape[2])]
+            ).T
+            ret[i] = x[i] * warper
+        return torch.from_numpy(ret.transpose(0, 2, 1).copy())
+
+    idx = np.arange(BATCH)
+    data = torch.from_numpy(train_ds.data[idx].astype(np.float32))
+    frames = train_ds.frames[idx]
+    target = torch.from_numpy(train_ds.label[idx])
+
+    n_steps = 2
+    t0 = time.time()
+    for _ in range(n_steps):
+        auged = aug_reference_style(data, frames)
+        out = model(auged)
+        loss = nn.functional.cross_entropy(out, target)
+        loss.backward()
+        nn.utils.clip_grad_value_(model.parameters(), 0.1)
+        opt.step()
+        opt.zero_grad()
+    dt = time.time() - t0
+    sps = n_steps * BATCH / dt
+    with open(CACHE, "w") as f:
+        json.dump({"key": CACHE_KEY, "samples_per_sec": sps, "seconds": dt}, f)
+    return sps
+
+
+def main():
+    tpu_sps = bench_tpu()
+    cpu_sps = bench_cpu_reference()
+    print(
+        json.dumps(
+            {
+                "metric": "PCGmix+ (durmixmagwarp) ResNet9 train throughput",
+                "value": round(tpu_sps, 1),
+                "unit": "samples/sec/chip",
+                "vs_baseline": round(tpu_sps / cpu_sps, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
