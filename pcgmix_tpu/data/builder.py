@@ -1,0 +1,290 @@
+"""Offline databuilder (SURVEY.md §2 component 13).
+
+Converts raw recordings + segmentation annotations into packed dataset
+dicts with the reference contract (SURVEY.md §2.2).  Mirrors
+databuilder.ipynb:
+
+  cell 25 (PhysioNet 1-D): StateAns .mat parsing → complete-cycle starts →
+    per-band band-pass/RMS-normalized wavs at 2 kHz → resample to 1 kHz →
+    per-channel standardize → cycle slicing → zero-pad to sig_len;
+  cells 5-6 (spectrograms): 2.2 s windows → mel-power-dB 128×128 → frames
+    rescaled into spectrogram columns → global standardize;
+  cell 14 (UMC): per-recording state-trace txt parsing, 4 kHz → 1 kHz.
+
+The compute path (filtering, resampling, mel) is JAX (see
+pcgmix_tpu.ops.filtering / .spectrogram); parsing and packing is host work.
+Raw corpora are not shipped with the reference; these functions are
+exercised by synthetic-input tests and a CLI is provided for real data.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Iterable, Sequence
+
+import numpy as np
+
+from pcgmix_tpu import utils
+from pcgmix_tpu.ops.filtering import bandpass_filtfilt, resample_poly, rms_normalize
+from pcgmix_tpu.ops.spectrogram import melspectrogram, power_to_db
+
+# The eight band definitions the reference builds (databuilder.ipynb cell 21).
+BANDS = {
+    "25-45": (25.0, 45.0),
+    "45-80": (45.0, 80.0),
+    "80-200": (80.0, 200.0),
+    "200-400": (200.0, 400.0),
+    "400-600": (400.0, 600.0),
+    "600-1000": (600.0, 1000.0),
+    "25-400": (25.0, 400.0),
+    "25-1000": (25.0, 1000.0),
+}
+
+STATE_NAMES = ("S1", "systole", "S2", "diastole")
+
+
+def parse_state_sequence(frames: np.ndarray, states: Sequence[str]) -> list[np.ndarray]:
+    """Scan a (frame, state) annotation stream for complete
+    [S1, systole, S2, diastole] cycles with no noise marker, returning one
+    [start, e1, e2, e3, e4] frames vector per cycle (databuilder.ipynb cell
+    25's seg_starts scan).
+
+    frames: (K,) sample indices where each state begins; states: (K,) names
+    ('S1'/'systole'/'S2'/'diastole', 'N' marks noise).
+    """
+    out = []
+    k = 0
+    while k + 4 < len(states):
+        window = list(states[k : k + 5])
+        if window[:4] == list(STATE_NAMES) and "N" not in window:
+            f = frames[k : k + 5].astype(np.int64)
+            if np.all(np.diff(f) > 0):
+                out.append(f)
+            k += 4
+        else:
+            k += 1
+    return out
+
+
+def parse_springer_mat(path: str) -> tuple[np.ndarray, list[str]]:
+    """Load a PhysioNet StateAns(.mat) annotation: rows of (sample, state).
+
+    Works for both the hand-corrected and Springer-algorithm outputs
+    (databuilder.ipynb cell 25 loads 'annotations/hand_corrected/
+    *_StateAns.mat' or 'annotations/springer_alg/*_StateAns0.mat').
+    """
+    from scipy.io import loadmat
+
+    m = loadmat(path, simplify_cells=True)
+    key = next(k for k in m if not k.startswith("__"))
+    rows = m[key]
+    frames = np.array([int(np.ravel(r[0])[0]) - 1 for r in rows])  # 1-based → 0
+    states = [str(np.ravel(r[1])[0]).strip("()'\" ") for r in rows]
+    return frames, states
+
+
+def parse_umc_state_trace(path: str) -> tuple[np.ndarray, list[str]]:
+    """UMC per-recording state traces: a text file of per-sample state codes
+    1..4 (S1, systole, S2, diastole); transitions become the (frame, state)
+    stream (databuilder.ipynb cell 14)."""
+    trace = np.loadtxt(path).astype(int).ravel()
+    change = np.flatnonzero(np.diff(trace)) + 1
+    starts = np.concatenate([[0], change])
+    frames = starts
+    states = [STATE_NAMES[trace[s] - 1] for s in starts]
+    return frames, states
+
+
+def preprocess_wav(
+    y: np.ndarray, sr_in: int, sr_out: int, band: tuple[float, float]
+) -> np.ndarray:
+    """Band-pass (zero-phase order-4 Butterworth) + RMS normalize at the
+    native rate, then resample — the 'raw_filtBandIIR(ZP)4-{band}_normRMS'
+    preprocessing plus the databuilder's librosa.resample step."""
+    import jax.numpy as jnp
+
+    x = jnp.asarray(y, jnp.float32)
+    x = bandpass_filtfilt(x, band[0], band[1], sr_in)
+    x = rms_normalize(x)
+    if sr_in != sr_out:
+        x = resample_poly(x, sr_out, sr_in)
+    return np.asarray(x)
+
+
+def slice_cycles(
+    y: np.ndarray, cycle_frames: Iterable[np.ndarray], sig_len: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Cut [start, end] windows, re-zero the frame origin, zero-pad to
+    sig_len (databuilder.ipynb cell 25's final packing).
+
+    Returns (cycles (N, sig_len), frames (N, 5))."""
+    sigs, frames = [], []
+    for f in cycle_frames:
+        seg = y[f[0] : f[4]]
+        if len(seg) > sig_len:
+            continue  # cycle longer than the canvas — skipped upstream too
+        buf = np.zeros(sig_len, np.float32)
+        buf[: len(seg)] = seg
+        sigs.append(buf)
+        frames.append(f - f[0])
+    if not sigs:
+        return np.zeros((0, sig_len), np.float32), np.zeros((0, 5), np.int64)
+    return np.stack(sigs), np.stack(frames)
+
+
+def build_1d_dataset(
+    recordings: dict,
+    *,
+    sr_in: int = 2000,
+    sr_out: int = 1000,
+    sig_len: int = 2500,
+    bands: Sequence[str] = ("25-45", "45-80", "80-200", "200-400", "25-400"),
+    normalize_stats: dict | None = None,
+) -> dict:
+    """Assemble a 1-D dataset dict from raw recordings.
+
+    recordings: {wav_name: {"y": raw mono signal @ sr_in,
+                            "frames": annotation frame stream @ sr_in,
+                            "states": state names,
+                            "label": 0/1, "sig_qual": 0/1}}.
+    Annotation frames are divided by sr_in/sr_out like the reference
+    (databuilder.ipynb cell 25: frames //2 for 2 kHz→1 kHz).
+    normalize_stats: optional {band: (mean, std)} per-channel standardization
+    (the reference hardcodes train-set stats, databuilder.ipynb cell 21).
+    """
+    rate = sr_in // sr_out
+    data = {b: [] for b in bands}
+    labels, frames_out, wavs, sq = [], [], [], []
+    for name, rec in recordings.items():
+        cycle_frames = parse_state_sequence(
+            np.asarray(rec["frames"]) // rate, rec["states"]
+        )
+        if not cycle_frames:
+            continue
+        per_band = {}
+        for b in bands:
+            y = preprocess_wav(np.asarray(rec["y"]), sr_in, sr_out, BANDS[b])
+            if normalize_stats and b in normalize_stats:
+                mu, sd = normalize_stats[b]
+                y = (y - mu) / sd
+            per_band[b] = y
+        fr = None
+        for b in bands:
+            sigs, fr = slice_cycles(per_band[b], cycle_frames, sig_len)
+            data[b].append(sigs)
+        n_cycles = fr.shape[0]  # identical across bands (same cycle_frames)
+        labels += [int(rec["label"])] * n_cycles
+        frames_out += list(fr)
+        wavs += [name] * n_cycles
+        sq += [int(rec.get("sig_qual", 1))] * n_cycles
+    return {
+        "data": {b: np.concatenate(v) if v else np.zeros((0, sig_len)) for b, v in data.items()},
+        "label": np.asarray(labels, np.int64),
+        "frames": np.stack(frames_out) if frames_out else np.zeros((0, 5), np.int64),
+        "wav": np.asarray(wavs, object),
+        "sig_qual": np.asarray(sq, np.int64),
+    }
+
+
+def build_spectrogram_dataset(
+    recordings: dict,
+    *,
+    sr_in: int = 2000,
+    sr_out: int = 1000,
+    window_seconds: float = 2.2,
+    size: int = 128,
+    fmin: float = 25.0,
+    fmax: float = 1000.0,
+    band: str = "25-1000",
+    normalize: tuple[float, float] | None = None,
+) -> dict:
+    """Mel-spectrogram dataset (databuilder.ipynb cells 5-6): per cycle, a
+    window_seconds slice from the cycle start → size×size mel-power-dB image;
+    frames rescaled into spectrogram columns; optional global standardize
+    with train stats (the reference hardcodes mean=−59.6066, std=15.9677 for
+    PhysioNet spec128)."""
+    import jax.numpy as jnp
+
+    win = int(sr_out * window_seconds)
+    hop = int(sr_out * window_seconds / size)
+    data, labels, frames_out, wavs, sq = [], [], [], [], []
+    for name, rec in recordings.items():
+        rate = sr_in // sr_out
+        cycle_frames = parse_state_sequence(
+            np.asarray(rec["frames"]) // rate, rec["states"]
+        )
+        if not cycle_frames:
+            continue
+        y = preprocess_wav(np.asarray(rec["y"]), sr_in, sr_out, BANDS[band])
+        for f in cycle_frames:
+            seg = np.zeros(win, np.float32)
+            chunk = y[f[0] : min(f[4], f[0] + win)]
+            seg[: len(chunk)] = chunk
+            mel = melspectrogram(
+                jnp.asarray(seg), sr_out, size, fmin, fmax, hop_length=hop
+            )
+            spec = np.asarray(power_to_db(mel))[:, :size]
+            if spec.shape[1] < size:
+                spec = np.pad(spec, ((0, 0), (0, size - spec.shape[1])))
+            if normalize:
+                spec = (spec - normalize[0]) / normalize[1]
+            data.append(spec.astype(np.float32))
+            fr = np.round((f - f[0]) * size / win).astype(np.int64)
+            frames_out.append(np.minimum(fr, size))
+            labels.append(int(rec["label"]))
+            wavs.append(name)
+            sq.append(int(rec.get("sig_qual", 1)))
+    return {
+        "data": np.stack(data) if data else np.zeros((0, size, size), np.float32),
+        "label": np.asarray(labels, np.int64),
+        "frames": np.stack(frames_out) if frames_out else np.zeros((0, 5), np.int64),
+        "wav": np.asarray(wavs, object),
+        "sig_qual": np.asarray(sq, np.int64),
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description="Build packed dataset dicts from raw wavs + annotations"
+    )
+    p.add_argument("--wav-dir", required=True, help="directory of .npy/.wav signals")
+    p.add_argument("--ann-dir", required=True, help="StateAns .mat / state .txt dir")
+    p.add_argument("--labels-csv", required=True, help="csv: wav,label,sig_qual")
+    p.add_argument("--out", required=True, help="output .dat (zlib pickle)")
+    p.add_argument("--kind", choices=["1d", "spec128", "spec64"], default="1d")
+    p.add_argument("--sr-in", type=int, default=2000)
+    args = p.parse_args(argv)
+
+    import csv
+
+    recs = {}
+    with open(args.labels_csv) as f:
+        for row in csv.DictReader(f):
+            name = row["wav"]
+            sig_path = os.path.join(args.wav_dir, name + ".npy")
+            y = np.load(sig_path)
+            mat = os.path.join(args.ann_dir, name + "_StateAns.mat")
+            txt = os.path.join(args.ann_dir, name + ".txt")
+            if os.path.exists(mat):
+                frames, states = parse_springer_mat(mat)
+            else:
+                frames, states = parse_umc_state_trace(txt)
+            recs[name] = {
+                "y": y,
+                "frames": frames,
+                "states": states,
+                "label": int(row["label"]),
+                "sig_qual": int(row.get("sig_qual", 1)),
+            }
+    if args.kind == "1d":
+        out = build_1d_dataset(recs, sr_in=args.sr_in)
+    else:
+        size = 128 if args.kind == "spec128" else 64
+        out = build_spectrogram_dataset(recs, sr_in=args.sr_in, size=size)
+    utils.dict2file(out, args.out)
+    print(f"wrote {args.out}: {len(out['label'])} cycles")
+
+
+if __name__ == "__main__":
+    main()
