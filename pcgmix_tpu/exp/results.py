@@ -1,0 +1,89 @@
+"""Results reading and aggregation over seed grids.
+
+Parity target: read_experiments.read_experiments_all_dataseeds
+(read_experiments.py:10-107): for each n_fraction, iterate its seed_data
+grid (and test seeds {1..5} at n_fraction 1.0 for 1-D, {1..3} for
+spectrograms), read performance.pkl of finished runs, pull the final value
+of the requested metric, and aggregate mean/min/max/std.
+"""
+
+from __future__ import annotations
+
+import copy
+import dataclasses
+import os
+from typing import Sequence
+
+import numpy as np
+
+from pcgmix_tpu import utils
+from pcgmix_tpu.exp.dirs import experiment_dir, experiment_already_done
+from pcgmix_tpu.exp.robust import SEED_DATA_GRIDS, hyperparameters_robust
+
+_METRIC_KEYS = {
+    "Accuracy": ("test_accuracy", 1.0),
+    "ROC AUC": ("test_rocauc", 100.0),
+    "F1 score": ("test_f1", 100.0),
+    "Specificity": ("test_specificity", 1.0),
+    "Sensitivity": ("test_sensitivity", 1.0),
+    "Precision": ("test_precision", 100.0),
+    "Recall": ("test_recall", 100.0),
+}
+
+
+def read_performance(cfg) -> dict:
+    """Load a run's performance.pkl (utils.read_pkl_perf equivalent)."""
+    return utils.load_dict(os.path.join(experiment_dir(cfg), "performance.pkl"))
+
+
+@dataclasses.dataclass
+class GridResult:
+    n_fractions: list
+    mean: list
+    lower: list
+    upper: list
+    std: list
+    num_runs: list
+
+
+def read_experiments_all_dataseeds(
+    cfg,
+    n_fractions: Sequence[float],
+    metric: str = "Accuracy",
+) -> GridResult:
+    """Aggregate a method's published-grid results (read_experiments.py:10-107).
+
+    cfg is a TrainConfig-like template; its seed_data/seed/n_fraction/method
+    fields are varied over the grid; the robust '+cp' schedule is applied per
+    n_fraction exactly as the reference's reader does (read_experiments.py:66).
+    """
+    key, scale = _METRIC_KEYS[metric]
+    spect = cfg.dataset == "PhysioNet(spec128)"
+    out = GridResult([], [], [], [], [], [])
+    for n_frac in n_fractions:
+        grid_1d, grid_2d = SEED_DATA_GRIDS[n_frac]
+        seed_datas = grid_2d if spect else grid_1d
+        if n_frac == 1.0:
+            seeds = [1, 2, 3] if spect else [1, 2, 3, 4, 5]
+        else:
+            seeds = [1]
+        accs = []
+        for seed_data in seed_datas:
+            run = copy.deepcopy(cfg)
+            run.n_fraction = n_frac
+            run.seed_data = seed_data
+            run = hyperparameters_robust(run)
+            for seed in seeds:
+                run.seed = seed
+                if not experiment_already_done(run):
+                    continue
+                perf = read_performance(run)
+                accs.append(perf[key][-1] * scale)
+        if accs:
+            out.n_fractions.append(n_frac)
+            out.mean.append(float(np.mean(accs)))
+            out.lower.append(float(np.min(accs)))
+            out.upper.append(float(np.max(accs)))
+            out.std.append(float(np.std(accs)))
+            out.num_runs.append(len(accs))
+    return out

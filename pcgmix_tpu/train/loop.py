@@ -71,6 +71,8 @@ class TrainConfig:
     classical_space: bool = False
     loader_parity: str = "torch"  # epoch-order parity mode
     save_artifacts: bool = True
+    plot: bool = True  # write accuracy/loss/lr/times jpgs to the run dir
+    track_variability: bool = False  # variability counter + plot (see counters)
     eval_batch_size: int = 1000
     cvd_map: Optional[dict] = None
 
@@ -135,6 +137,7 @@ def train_model(
     *,
     saliency_model_provider: Optional[Callable] = None,
     latent_feature_fn: Optional[Callable] = None,
+    latent_space_model=None,
     progress: bool = False,
 ) -> dict:
     """Train one configuration end-to-end; returns the performance dict.
@@ -196,7 +199,9 @@ def train_model(
             )
 
     from pcgmix_tpu import saliency as saliency_mod
+    from pcgmix_tpu.train.counters import VariabilityCounter
 
+    variability = VariabilityCounter(len(train_ds)) if cfg.track_variability else None
     perf = PerformanceTracker()
     epoch_plot = np.array(sorted(set(np.linspace(1, cfg.num_epochs, 11).astype(int))))
     base_key = jax.random.PRNGKey(cfg.seed_fix)
@@ -292,6 +297,33 @@ def train_model(
             epoch_losses.append(float(out["loss"]))
             epoch_preds.append(np.asarray(out["preds"]))
             epoch_targets.append(np.asarray(out["target"]))
+            if variability is not None:
+                variability.add(
+                    batch["indices"],
+                    plan.mix_indices if plan is not None else None,
+                    plan.cut if plan is not None else None,
+                    step_count,
+                )
+            if cfg.latent_space and latent_space_model is not None:
+                # out-of-manifold-intrusion dumps (train_model.py:508-518):
+                # embed the augmented batch with the frozen latent model
+                from pcgmix_tpu.latent import save_latent_space
+
+                if plan is not None and plan.latent_depth is None:
+                    aug_data, _ = engine.apply(
+                        dev_batch["data"], dev_batch["target_ohe"], plan.arrays
+                    )
+                else:
+                    aug_data = dev_batch["data"]
+                if cfg.classical_space:
+                    aug_data = aug_data[:, :4, :]
+                fts = latent_space_model.generate(aug_data)
+                save_latent_space(
+                    {"fts": fts, "target": batch["label"]},
+                    "train",
+                    step_count,
+                    run_dir or cfg.experiments_root,
+                )
             if cfg.use_sched:
                 from pcgmix_tpu.train.schedule import onecycle_lr
 
@@ -323,6 +355,23 @@ def train_model(
                 )
             if run_dir:
                 utils.save_dict(perf.dict, os.path.join(run_dir, "performance.pkl"))
+                if cfg.plot:
+                    from pcgmix_tpu.exp import plotters
+
+                    plotters.plot_train_test_acc(
+                        perf.dict["train_accuracy"], perf.dict["test_accuracy"],
+                        cfg.valid, perf.dict["steps"], run_dir,
+                    )
+                    plotters.plot_train_test_loss(
+                        perf.dict["train_loss"], perf.dict["test_loss"],
+                        cfg.valid, perf.dict["steps"], run_dir,
+                    )
+                    plotters.plot_lr_per_step(lr_per_step, run_dir)
+                    plotters.plot_times(
+                        times, list(range(1, len(times) + 1)), run_dir
+                    )
+                    if variability is not None and variability.steps:
+                        plotters.plot_variability(variability, run_dir)
         if done:
             break
 
