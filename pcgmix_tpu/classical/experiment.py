@@ -1,0 +1,259 @@
+"""Classical pipeline stages: segment pruning, aggregation, sklearn bench.
+
+Parity targets: remove_segments_meanEnvelope (classical.py:115-146),
+get_mean_and_SD_of_seg_features_window (classical.py:165-200),
+aggregate_features_into_rec_mean_and_sd_single_vector (classical.py:202-243),
+search_space_grid (classical.py:1320-1388), run_experiment
+(classical.py:1391-1617).  XGBoost/LightGBM are not installed in this image
+and are skipped with a note (the reference itself skips LGBM,
+classical.py:1535-1536).
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+NON_FEATURES = ["class", "wav", "segment", "sig_qual", "split"]
+
+
+def remove_segments_mean_envelope(
+    features: pd.DataFrame, std_factor: float = 1.4
+) -> pd.DataFrame:
+    """Drop segments whose MeanEnv_RR lies outside mean ± SD·std_factor of
+    their recording (classical.py:115-146)."""
+    kept = []
+    for rec in features["wav"].unique():
+        rows = features[features["wav"] == rec]
+        mu = rows["MeanEnv_RR"].mean()
+        sd = rows["MeanEnv_RR"].std()
+        mask = (rows["MeanEnv_RR"] < mu - sd * std_factor) | (
+            rows["MeanEnv_RR"] > mu + sd * std_factor
+        )
+        kept.append(rows[~mask])
+    return pd.concat(kept).reset_index(drop=True)
+
+
+def _clean_recording(rows: pd.DataFrame) -> pd.DataFrame:
+    rows = rows.replace([-np.inf, np.inf], np.nan)
+    rows = rows.fillna(rows.mean(numeric_only=True))
+    return rows.astype({"segment": int}).sort_values(by="segment")
+
+
+def aggregate_features_rolling(
+    features: pd.DataFrame, window: int = 2
+) -> pd.DataFrame:
+    """Append cyclic rolling-window mean (m_) and SD (sd_) columns per
+    recording (classical.py:165-200): each recording's rows are tiled so the
+    window wraps around the cycle sequence."""
+    cols = [c for c in features.columns if c not in NON_FEATURES]
+    out = []
+    for rec in features["wav"].unique():
+        rows = _clean_recording(features[features["wav"] == rec])
+        n = len(rows)
+        mult = int(np.ceil((n + window) / n))
+        tiled = pd.concat([rows] * mult)
+        roll = tiled[cols].rolling(window=window)
+        m = roll.mean().add_prefix("m_")
+        sd = roll.std().add_prefix("sd_")
+        out.append(pd.concat([tiled, m, sd], axis=1).iloc[-n:])
+    return pd.concat(out).reset_index(drop=True)
+
+
+def aggregate_features_single(features: pd.DataFrame) -> pd.DataFrame:
+    """One row per recording with whole-recording m_/sd_ aggregates
+    (classical.py:202-243)."""
+    cols = [c for c in features.columns if c not in NON_FEATURES]
+    out = []
+    for rec in features["wav"].unique():
+        rows = _clean_recording(features[features["wav"] == rec])
+        m = rows[cols].mean().add_prefix("m_")
+        sd = rows[cols].std().add_prefix("sd_")
+        head = rows.head(1).reset_index(drop=True)
+        out.append(pd.concat([head, m.to_frame().T, sd.to_frame().T], axis=1))
+    return pd.concat(out).reset_index(drop=True)
+
+
+def search_space_grid(clf_name: str, seed: int) -> dict:
+    """Hyperparameter grids for fine-tuning (classical.py:1320-1388)."""
+    grids = {
+        "LogisticRegression": dict(
+            solver=["newton-cg", "lbfgs", "liblinear"],
+            penalty=["none", "l1", "l2", "elasticnet"],
+            C=np.linspace(0.05, 2, 40), max_iter=[50, 100, 150, 200],
+            random_state=[seed],
+        ),
+        "DecisionTreeClassifier": dict(
+            criterion=["gini", "entropy"], splitter=["best", "random"],
+            min_samples_split=list(range(4, 91, 6)),
+            max_features=["sqrt", "log2"], random_state=[seed],
+        ),
+        "RandomForestClassifier": dict(
+            n_estimators=[20, 80, 140, 200], criterion=["gini", "entropy"],
+            min_samples_split=list(range(4, 91, 6)),
+            max_features=["sqrt", "log2"], random_state=[seed],
+        ),
+        "KNeighborsClassifier": dict(
+            n_neighbors=[3, 9, 15, 21, 27, 37, 43, 49, 55, 61, 67, 73, 79,
+                         85, 91, 97, 1],
+            weights=["uniform", "distance"],
+            metric=["euclidean", "manhattan", "minkowski"],
+        ),
+        "GaussianNB": dict(var_smoothing=np.logspace(0, -9, num=100)),
+        "SVC": dict(
+            svc__C=np.linspace(0.05, 3, 60),
+            svc__kernel=["linear", "poly", "rbf", "sigmoid"],
+            svc__gamma=["auto"], svc__probability=[True],
+            svc__random_state=[seed],
+        ),
+        "SGDClassifier": dict(
+            loss=["log_loss"], penalty=["l2", "l1", "elasticnet"],
+            alpha=np.logspace(0, -9, num=100), random_state=[seed],
+        ),
+        "GradientBoostingClassifier": dict(
+            learning_rate=[0.01, 0.025, 0.05, 0.075, 0.1, 0.15, 0.2],
+            n_estimators=[20, 60, 100, 140, 180, 200],
+            min_samples_split=np.linspace(0.1, 0.5, 12),
+            max_features=["sqrt", "log2"], random_state=[seed],
+        ),
+    }
+    return grids.get(clf_name, {})
+
+
+def _make_classifiers(seed: int):
+    from sklearn.ensemble import GradientBoostingClassifier, RandomForestClassifier
+    from sklearn.linear_model import LogisticRegression, SGDClassifier
+    from sklearn.naive_bayes import GaussianNB
+    from sklearn.neighbors import KNeighborsClassifier
+    from sklearn.pipeline import make_pipeline
+    from sklearn.preprocessing import StandardScaler
+    from sklearn.svm import SVC
+    from sklearn.tree import DecisionTreeClassifier
+
+    clfs = [
+        (LogisticRegression(random_state=seed), "LogisticRegression", "LR"),
+        (DecisionTreeClassifier(random_state=seed), "DecisionTreeClassifier", "DT"),
+        (RandomForestClassifier(random_state=seed), "RandomForestClassifier", "RF"),
+        (KNeighborsClassifier(), "KNeighborsClassifier", "KN"),
+        (GaussianNB(), "GaussianNB", "GNB"),
+        (
+            make_pipeline(
+                StandardScaler(), SVC(probability=True, gamma="auto", random_state=seed)
+            ),
+            "SVC",
+            "SVC",
+        ),
+        (SGDClassifier(loss="log_loss", random_state=seed), "SGDClassifier", "SGD"),
+        (
+            GradientBoostingClassifier(random_state=seed),
+            "GradientBoostingClassifier",
+            "GB",
+        ),
+    ]
+    # XGBoost / LightGBM join the bench only when their wheels exist
+    # (the reference includes them, classical.py:1460-1471, but itself skips
+    # LGBM at run time, classical.py:1535-1536).
+    try:
+        from xgboost.sklearn import XGBClassifier
+
+        clfs.append((XGBClassifier(verbosity=0, seed=seed), "XGBClassifier", "XGB"))
+    except ImportError:
+        pass
+    return clfs
+
+
+def run_experiment(
+    features: pd.DataFrame,
+    *,
+    keep_only_sd_m_fts: bool = True,
+    majority_vote_prediction: bool = True,
+    train_wavs: Optional[Sequence[str]] = None,
+    kb_num: int = 40,
+    seed: int = 4,
+) -> pd.DataFrame:
+    """Train/test bench over the classifier zoo (classical.py:1391-1617).
+
+    features: the aggregated feature table with NON_FEATURES columns.
+    train_wavs: optional recording subset matching the NN experiment's
+    n_fraction selection (classical.py:1424-1428).
+    Returns one metrics row per classifier.
+    """
+    from sklearn.feature_selection import mutual_info_classif
+    from sklearn.metrics import (
+        accuracy_score,
+        confusion_matrix,
+        f1_score,
+        precision_score,
+        recall_score,
+        roc_auc_score,
+    )
+
+    np.random.seed(seed)
+    fts = features.copy()
+    if train_wavs is not None:
+        fts = fts[
+            (fts["split"] == "test")
+            | ((fts["split"] == "train") & fts.wav.isin(set(train_wavs)))
+        ]
+    if keep_only_sd_m_fts:
+        # the reference's feature filter (classical.py:1438-1448): keep m_/sd_
+        # aggregates, drop RR-derived, MaxAmp, EnvInt, dwt5, chroma, mel
+        sel = [c for c in fts.columns if c.startswith(("m_", "sd_"))]
+        sel = [c for c in sel if "_RR" not in c and "MaxAmp" not in c
+               and "EnvInt" not in c and "dwt5" not in c and "chroma" not in c
+               and "melspectrogram1" not in c]
+        fts = fts[sel + NON_FEATURES]
+    if fts.isna().any().any():
+        fts = fts.fillna(0)
+
+    train = fts[fts["split"] == "train"]
+    x_train_full = train.drop(columns=NON_FEATURES)
+    y_train = train["class"].to_numpy().astype(int)
+    # mutual-information top-k feature selection (classical.py:1504-1511)
+    mi = mutual_info_classif(x_train_full, y_train, random_state=seed)
+    order = pd.DataFrame({"features": x_train_full.columns, "MI": mi})
+    order = order.sort_values("MI", ascending=False)
+    selected = list(order["features"].head(kb_num).values)
+
+    results = []
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        for clf, clf_name, abbrv in _make_classifiers(seed):
+            test = fts[fts["split"] == "test"]
+            x_tr = train[selected].to_numpy()
+            x_te = test[selected].to_numpy()
+            y_te = test["class"].to_numpy().astype(int)
+            clf.fit(x_tr, y_train)
+            pred = clf.predict(x_te)
+            proba = clf.predict_proba(x_te)
+            if majority_vote_prediction:
+                # mean per-recording probabilities (classical.py:1561-1578)
+                df = pd.DataFrame(
+                    {"rec": test["wav"].to_numpy(), "y": y_te,
+                     "p0": proba[:, 0], "p1": proba[:, 1]}
+                )
+                agg = df.groupby("rec", sort=False).mean()
+                y_te = agg["y"].to_numpy().astype(int)
+                proba1 = agg["p1"].to_numpy()
+                pred = (agg[["p0", "p1"]].to_numpy().argmax(axis=1)).astype(int)
+            else:
+                proba1 = proba[:, 1]
+            tn, fp, fn, tp = confusion_matrix(y_te, pred, labels=[0, 1]).ravel()
+            results.append(
+                {
+                    "Classifier": abbrv,
+                    "Specificity": tn / max(tn + fp, 1),
+                    "Sensitivity": tp / max(tp + fn, 1),
+                    "Accuracy": accuracy_score(y_te, pred),
+                    "Precision": precision_score(y_te, pred, zero_division=0),
+                    "Recall": recall_score(y_te, pred, zero_division=0),
+                    "F1": f1_score(y_te, pred, zero_division=0),
+                    "ROCAUC": roc_auc_score(y_te, proba1)
+                    if len(np.unique(y_te)) > 1
+                    else np.nan,
+                }
+            )
+    return pd.DataFrame(results)

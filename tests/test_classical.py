@@ -1,0 +1,123 @@
+"""Classical subsystem tests: DSP primitives, feature vector, pipeline."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pcgmix_tpu.classical import (
+    aggregate_features_rolling,
+    aggregate_features_single,
+    extract_features,
+    feature_vector_seg,
+    remove_segments_mean_envelope,
+    run_experiment,
+)
+from pcgmix_tpu.classical import dsp
+from pcgmix_tpu.data import synthetic_physionet_dict
+
+
+def test_zero_crossings():
+    y = np.array([1.0, -1.0, 1.0, 1.0, -0.5])
+    assert dsp.zero_crossings(y) == 3
+    assert dsp.zero_crossings(np.ones(10)) == 0
+
+
+def test_rms_constant_signal():
+    y = np.full(512, 2.0)
+    r = dsp.rms(y, 256, 64)
+    # interior frames see only the constant
+    assert np.isclose(r[2:-2], 2.0).all()
+
+
+def test_spectral_centroid_tone():
+    t = np.arange(1000) / 1000.0
+    y = np.sin(2 * np.pi * 125 * t)
+    c = dsp.spectral_centroid(y, 1000, 256, 64)
+    assert abs(np.median(c) - 125) < 15
+
+
+def test_spectral_rolloff_bounds():
+    rngv = np.random.default_rng(0).normal(size=600)
+    r = dsp.spectral_rolloff(rngv, 1000, 256, 64)
+    assert np.all(r >= 0) and np.all(r <= 500)
+
+
+def test_sample_entropy_regular_vs_random():
+    t = np.arange(400)
+    regular = np.sin(2 * np.pi * t / 50)
+    noise = np.random.default_rng(0).normal(size=400)
+    se_reg = dsp.sample_entropy(regular)
+    se_noise = dsp.sample_entropy(noise)
+    assert se_reg < se_noise
+
+
+def test_wavedec_db4_matches_structure():
+    y = np.random.default_rng(0).normal(size=500)
+    coeffs = dsp.wavedec_db4(y, level=5)
+    assert len(coeffs) == 6  # cA5, cD5..cD1
+    # pywt length recurrence: floor((n + flen - 1) / 2) per level
+    n, flen = 500, 8
+    lens = []
+    for _ in range(5):
+        n = (n + flen - 1) // 2
+        lens.append(n)
+    assert [len(c) for c in coeffs] == [lens[-1]] + lens[::-1]
+    # energy is approximately preserved (symmetric padding adds boundary
+    # energy, so Parseval holds only approximately)
+    total = sum(float(np.sum(c**2)) for c in coeffs)
+    assert abs(total - float(np.sum(y**2))) / float(np.sum(y**2)) < 0.15
+    # db4 annihilates constants: details vanish, approximation scales by √2
+    # per level
+    const = np.ones(512)
+    c2 = dsp.wavedec_db4(const, level=3)
+    for d in c2[1:]:
+        assert np.max(np.abs(d)) < 1e-8
+    assert np.allclose(c2[0], 2 ** 1.5, atol=1e-8)
+
+
+def test_mfcc_shape():
+    y = np.random.default_rng(0).normal(size=700)
+    m = dsp.mfcc(y, 1000, 256, 64)
+    assert m.shape[0] == 13
+
+
+@pytest.fixture(scope="module")
+def feature_table():
+    ds = synthetic_physionet_dict(
+        num_wavs_train=6, num_wavs_test=4, segments_per_wav=3, sig_len=2500, seed=2
+    )
+    return extract_features(ds)
+
+
+def test_feature_vector_names_and_count(feature_table):
+    fts = feature_table
+    assert len(fts) == 30
+    # the reference's marquee feature groups are all present
+    for name in ("BPM", "Dur_Ratio_SysDia", "MaxAmp_Ratio_S1S2", "MeanEnv_RR",
+                 "PSD_Sys_25_40Hz", "ZC_Dia", "mfcc13_Dia", "RMS_Ratio_S1S2",
+                 "Skewness_Sys", "Kurtosis_RR", "SpecCentroid_S1",
+                 "SpecContrast5_Dia", "SpecFlatness_S2", "SpecRolloff_Sys",
+                 "PolyFeatures_RR", "SE_Sys", "dwt1_Dia", "chroma_stft1_RR",
+                 "melspectrogram1_S1"):
+        assert name in fts.columns, name
+    n_numeric = len([c for c in fts.columns if c not in
+                     ("class", "wav", "segment", "sig_qual", "split")])
+    assert n_numeric > 200  # ~230 per-segment features
+
+
+def test_pipeline_end_to_end(feature_table):
+    pruned = remove_segments_mean_envelope(feature_table, std_factor=1.4)
+    assert len(pruned) <= len(feature_table)
+    agg = aggregate_features_rolling(pruned, window=2)
+    assert any(c.startswith("m_") for c in agg.columns)
+    assert any(c.startswith("sd_") for c in agg.columns)
+    assert len(agg) == len(pruned)
+    results = run_experiment(agg, kb_num=20, seed=4)
+    assert {"Classifier", "Accuracy", "ROCAUC"} <= set(results.columns)
+    assert len(results) >= 7
+    assert results["Accuracy"].between(0, 1).all()
+
+
+def test_aggregate_single(feature_table):
+    single = aggregate_features_single(feature_table)
+    assert len(single) == feature_table["wav"].nunique()
