@@ -251,11 +251,13 @@ class AugmentEngine:
             return Plan(arrays={"snr": snr, "key": jax.random.fold_in(sub, step),
                                 "end": frames[:, -1]})
         if base in ("labelcutmix", "lengthcutmix", "datasetcutmix", "wavcutmix",
-                    "cutmix") and not spec.manifold:
-            return self._plan_concat(step, frames, labels, pair)
-        if base in ("cutmix",) and spec.manifold:
-            p = self._plan_concat(step, frames, labels, pair)
-            p.latent_depth = prng.py_randint(step, 0, 3)  # augmentations.py:1527-1530
+                    "cutmix"):
+            if base == "cutmix" and spec.per_channel:
+                p = self._plan_concat_per_channel(step, frames, pair)
+            else:
+                p = self._plan_concat(step, frames, labels, pair)
+            if spec.manifold:
+                p.latent_depth = prng.py_randint(step, 0, 3)  # augmentations.py:1527-1530
             return p
         if base == "lc-nointrusion":
             return self._plan_lc_nointrusion(step, frames, labels)
@@ -426,6 +428,45 @@ class AugmentEngine:
             lam_t = (frames[:, cut] / np.maximum(arrays["last"], 1)).astype(np.float32)
             arrays["lam_t"] = lam_t
         return plan
+
+    def _plan_concat_per_channel(self, step, frames, pair):
+        """cutmix(ch): per-channel cut points Random(step·131071 + c·524287)
+        (augmentations.py:1536-1547); each channel splices the partner's tail
+        in place and zeroes beyond the joined length; λ averages the
+        per-channel f1[cut]/last ratios."""
+        mix, dist = pair()
+        T = self.cfg.sig_len
+        C = self.cfg.num_channels
+        cuts = [
+            prng.py_randint(step * 131071 + c * 524287, 1, 3) for c in range(C)
+        ]
+        f1, f2 = frames, frames[mix]
+        c1 = f1[:, cuts]  # (B, C)
+        c2 = f2[:, cuts]
+        last = np.minimum(c1 + f2[:, -1:] - c2, T)
+        lam_t = (c1 / np.maximum(last, 1)).mean(axis=1).astype(np.float32)
+        arrays = {"idx2": mix, "ch_c1": c1, "ch_c2": c2, "ch_last": last,
+                  "lam_t": lam_t}
+        return Plan(arrays=arrays, mix_indices=mix)
+
+    def _apply_concat_per_channel(self, data, target_ohe, arrays):
+        B, C, T = data.shape
+        d2 = jnp.take(data, jnp.asarray(arrays["idx2"], jnp.int32), axis=0)
+        x = data.reshape(B * C, 1, T)
+        y = d2.reshape(B * C, 1, T)
+        c1 = jnp.asarray(arrays["ch_c1"]).reshape(-1, 1)
+        c2 = jnp.asarray(arrays["ch_c2"]).reshape(-1, 1)
+        last = jnp.asarray(arrays["ch_last"]).reshape(-1, 1)
+        out = jax.vmap(
+            lambda a, b, ds, ss, ln: piecewise_mix(
+                a, b, ds, ss, ln,
+                jnp.ones_like(ds), jnp.zeros(ds.shape, a.dtype),
+                base_is_d1=True,
+            )
+        )(x, y, c1, c2, last - c1)
+        out = zero_after(out, last.reshape(-1)).reshape(B, C, T)
+        target_ohe = _blend_targets(target_ohe, arrays["idx2"], arrays["lam_t"])
+        return out, target_ohe
 
     def _plan_lc_nointrusion(self, step, frames, labels):
         """Candidate-pool construction (augmentations.py:1228-1259)."""
@@ -690,6 +731,8 @@ class AugmentEngine:
             std = rms / jnp.power(10.0, arrays["snr"][:, None, None] / 20.0)
             noise = jax.random.normal(arrays["key"], data.shape, data.dtype)
             return zero_after(data + noise * std, arrays["end"]), target_ohe
+        if base == "cutmix" and spec.per_channel:
+            return self._apply_concat_per_channel(data, target_ohe, arrays)
         if base in ("labelcutmix", "lengthcutmix", "datasetcutmix", "wavcutmix",
                     "cutmix", "lc-nointrusion", "swapsysdia", "cont-cutmix",
                     "saliency-cutmix"):

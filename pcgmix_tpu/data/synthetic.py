@@ -121,7 +121,7 @@ def synthetic_spectrogram_dict(
         data, labels, frames, wavs, sq = [], [], [], [], []
         for w in range(num_wavs):
             label = int(w % 2)
-            name = f"{'abcdef'[w % 6]}{prefix}{w:04d}"
+            name = f"{'abcdef'[(w // 2) % 6]}{prefix}{w:04d}"
             for _ in range(segments_per_wav):
                 lens = rng.integers([4, 8, 3, 12], [8, 16, 6, 24])
                 f = np.concatenate([[0], np.cumsum(lens)])

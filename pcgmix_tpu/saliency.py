@@ -45,7 +45,9 @@ def _smooth_same(x: jax.Array, kernel: jax.Array) -> jax.Array:
 
 def _zero_tail(x: jax.Array, end: jax.Array) -> jax.Array:
     t = jnp.arange(x.shape[-1])
-    return jnp.where(t[None, :] < end[:, None], x, 0.0)
+    mask = t[None, :] < end[:, None]  # (B, T)
+    mask = mask.reshape(mask.shape[0], *([1] * (x.ndim - 2)), mask.shape[-1])
+    return jnp.where(mask, x, 0.0)
 
 
 def _normalize01(x: jax.Array) -> jax.Array:

@@ -96,9 +96,12 @@ def build_splits(cfg: TrainConfig, dataset: dict):
             dataset, "train", n_fraction=cfg.n_fraction,
             train_balance=cfg.train_balance, **common,
         )
+        # eval splits never carry the extra classical channel
+        # (dataloader_physionet.py:246 passes classical_space=False)
         test = physionet_split(
             dataset, "valid" if cfg.valid else "test",
-            n_fraction=cfg.n_fraction, train_balance=cfg.train_balance, **common,
+            n_fraction=cfg.n_fraction, train_balance=cfg.train_balance,
+            **{**common, "classical_space": False},
         )
     elif cfg.dataset.startswith("UMC"):
         common.pop("classical_space")
@@ -118,7 +121,10 @@ def _selc_turnpoint(cfg: TrainConfig) -> int:
 
 
 def init_state(cfg: TrainConfig, model, train_ds, tx) -> TrainState:
-    sample = jnp.zeros((1,) + train_ds.data.shape[1:], jnp.float32)
+    shape = list(train_ds.data.shape[1:])
+    if cfg.classical_space and not cfg.spectrogram:
+        shape[0] = cfg.num_channels  # the model sees 4 of the 5 channels
+    sample = jnp.zeros((1, *shape), jnp.float32)
     variables = model.init(jax.random.PRNGKey(cfg.seed_fix), sample)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
@@ -169,7 +175,9 @@ def train_model(
         AugmentConfig(
             method=cfg.method,
             batch_size=cfg.batch_size,
-            num_channels=cfg.num_channels,
+            # classical_space adds the wide band as a 5th channel; the
+            # augmentation operates on ALL channels (train_model.py:504-532)
+            num_channels=train_ds.data.shape[1],
             sig_len=train_ds.data.shape[-1],
             num_classes=cfg.num_classes,
             sample_rate=cfg.sample_rate,
@@ -180,9 +188,15 @@ def train_model(
         )
     )
     selc_es = _selc_turnpoint(cfg)
-    step_plain = make_train_step(model, tx, selc_es=selc_es)
+    model_channels = cfg.num_channels if cfg.classical_space else None
+    step_plain = make_train_step(
+        model, tx, selc_es=selc_es, model_channels=model_channels
+    )
     step_aug = (
-        make_train_step(model, tx, selc_es=selc_es, engine=engine)
+        make_train_step(
+            model, tx, selc_es=selc_es, engine=engine,
+            model_channels=model_channels,
+        )
         if engine.enabled
         else None
     )
@@ -304,26 +318,57 @@ def train_model(
                     plan.cut if plan is not None else None,
                     step_count,
                 )
-            if cfg.latent_space and latent_space_model is not None:
-                # out-of-manifold-intrusion dumps (train_model.py:508-518):
-                # embed the augmented batch with the frozen latent model
-                from pcgmix_tpu.latent import save_latent_space
-
-                if plan is not None and plan.latent_depth is None:
+            if (cfg.latent_space and latent_space_model is not None) or (
+                cfg.classical_space and not cfg.spectrogram
+            ):
+                # analysis dumps operate on the AUGMENTED batch
+                # (train_model.py:508-532 runs after augment())
+                if plan is not None and plan.latent_depth is None and (
+                    engine.spec.base != "lc-nointrusion"
+                ):
                     aug_data, _ = engine.apply(
                         dev_batch["data"], dev_batch["target_ohe"], plan.arrays
                     )
                 else:
                     aug_data = dev_batch["data"]
-                if cfg.classical_space:
+                if cfg.classical_space and not cfg.spectrogram:
+                    # features of the wide-band 5th channel, one CSV per step
+                    # (train_model.py:519-532); the model consumes only the
+                    # first 4 channels afterwards
+                    import pandas as pd
+
+                    from pcgmix_tpu.classical import feature_vector_seg
+
+                    aug_np = np.asarray(aug_data)
+                    rows = [
+                        feature_vector_seg(
+                            aug_np[i, 4], int(batch["label"][i]),
+                            batch["frames"][i], batch["wav"][i],
+                            int(batch["sig_qual"][i]), i, "train",
+                        )
+                        for i in range(len(batch["label"]))
+                    ]
+                    cs_dir = utils.check_folder(
+                        os.path.join(
+                            run_dir or cfg.experiments_root, "classical_space"
+                        )
+                    )
+                    pd.DataFrame(rows).reset_index(drop=True).to_csv(
+                        os.path.join(cs_dir, f"train_{step_count}.csv"), index=False
+                    )
+                    dev_batch["data"] = dev_batch["data"][:, :4, :]
                     aug_data = aug_data[:, :4, :]
-                fts = latent_space_model.generate(aug_data)
-                save_latent_space(
-                    {"fts": fts, "target": batch["label"]},
-                    "train",
-                    step_count,
-                    run_dir or cfg.experiments_root,
-                )
+                if cfg.latent_space and latent_space_model is not None:
+                    # out-of-manifold-intrusion dumps (train_model.py:508-518)
+                    from pcgmix_tpu.latent import save_latent_space
+
+                    fts = latent_space_model.generate(aug_data)
+                    save_latent_space(
+                        {"fts": fts, "target": batch["label"]},
+                        "train",
+                        step_count,
+                        run_dir or cfg.experiments_root,
+                    )
             if cfg.use_sched:
                 from pcgmix_tpu.train.schedule import onecycle_lr
 

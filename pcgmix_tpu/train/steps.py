@@ -77,6 +77,7 @@ def make_train_step(
     manifold: bool = False,
     model_eval=None,
     donate: bool = True,
+    model_channels: Optional[int] = None,
 ) -> Callable:
     """Build a jitted train step.
 
@@ -96,6 +97,10 @@ def make_train_step(
         rngs = {"dropout": rng}
         if engine is not None and latent_depth is None:
             data, target = engine.apply(data, target, plan)
+        if model_channels is not None and data.shape[1] > model_channels:
+            # classical_space mode: augmentation sees the 5-channel batch, the
+            # model only the first 4 (train_model.py:532)
+            data = data[:, :model_channels]
         if latent_depth is not None:
             if manifold:
                 latent = model_eval.apply(
