@@ -308,9 +308,12 @@ def train_model(
             else:
                 state, out = step_aug(state, dev_batch, plan.arrays, epoch, rng)
 
-            epoch_losses.append(float(out["loss"]))
-            epoch_preds.append(np.asarray(out["preds"]))
-            epoch_targets.append(np.asarray(out["target"]))
+            # keep metrics as device arrays; pull once per epoch so the host
+            # never blocks on the step (async dispatch pipelines plan
+            # building with device compute)
+            epoch_losses.append(out["loss"])
+            epoch_preds.append(out["preds"])
+            epoch_targets.append(out["target"])
             if variability is not None:
                 variability.add(
                     batch["indices"],
@@ -380,15 +383,17 @@ def train_model(
                 done = True
                 break
 
+        jax.block_until_ready(epoch_losses[-1])
         times.append(time.time() - t0)
         if epoch in epoch_plot:
             perf.add("epochs", epoch)
             perf.add("steps", step_count)
-            perf.add("train_loss", float(np.mean(epoch_losses)))
+            perf.add("train_loss", float(np.mean([float(l) for l in epoch_losses])))
             perf.add(
                 "train_accuracy",
                 segment_accuracy(
-                    np.concatenate(epoch_preds), np.concatenate(epoch_targets)
+                    np.concatenate([np.asarray(p) for p in epoch_preds]),
+                    np.concatenate([np.asarray(t) for t in epoch_targets]),
                 ),
             )
             evaluate(cfg, eval_step, state, test_ds, perf, engine.spec.class_majority)
