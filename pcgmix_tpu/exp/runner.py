@@ -1,0 +1,112 @@
+"""Experiment grid runner + CLI.
+
+The reference drives experiments from notebook cells that loop
+``train_model`` over method × n_fraction × seed_data × seed grids with
+``hyperparameters_robust`` rewriting and ``experiment_already_done``
+resume-skipping (experiments_timeseries.ipynb cells 4/9).  This module is
+the CLI equivalent:
+
+  python -m pcgmix_tpu.exp.runner --dataset-file physionet.dat \
+      --methods base durratiomixup "durmixmagwarp(0.2,4)" \
+      --n-fractions 0.1 1.0 --seeds 1 2 3 --robust
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import dataclasses
+
+from pcgmix_tpu import utils
+from pcgmix_tpu.exp.dirs import experiment_already_done, experiment_dir
+from pcgmix_tpu.exp.robust import SEED_DATA_GRIDS, hyperparameters_robust
+from pcgmix_tpu.train.loop import TrainConfig, train_model
+
+
+def run_grid(
+    base_cfg: TrainConfig,
+    dataset: dict,
+    methods,
+    n_fractions,
+    seeds,
+    seed_datas=None,
+    robust: bool = True,
+    skip_done: bool = True,
+    progress: bool = True,
+) -> list[TrainConfig]:
+    """Run every grid point, skipping finished runs.  Returns the configs
+    that were executed."""
+    executed = []
+    for method in methods:
+        for n_frac in n_fractions:
+            if seed_datas is not None:
+                sds = seed_datas
+            elif n_frac in SEED_DATA_GRIDS:
+                grid_1d, grid_2d = SEED_DATA_GRIDS[n_frac]
+                sds = list(grid_2d if base_cfg.spectrogram else grid_1d)
+            else:
+                sds = [base_cfg.seed_data]
+            for seed_data in sds:
+                for seed in seeds:
+                    cfg = copy.deepcopy(base_cfg)
+                    cfg.method = method
+                    cfg.n_fraction = n_frac
+                    cfg.seed_data = seed_data
+                    cfg.seed = seed
+                    if robust:
+                        cfg = hyperparameters_robust(cfg)
+                    if skip_done and experiment_already_done(cfg):
+                        if progress:
+                            print(f"skip (done): {experiment_dir(cfg)}")
+                        continue
+                    if progress:
+                        print(f"run: {experiment_dir(cfg)}")
+                    train_model(cfg, dataset, progress=progress)
+                    executed.append(cfg)
+    return executed
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="PCGmix-TPU experiment grid runner")
+    p.add_argument("--dataset-file", required=True, help=".dat dataset dict")
+    p.add_argument("--dataset", default="PhysioNet")
+    p.add_argument("--model", default="resnet9")
+    p.add_argument("--methods", nargs="+", default=["base"])
+    p.add_argument("--n-fractions", nargs="+", type=float, default=[1.0])
+    p.add_argument("--seeds", nargs="+", type=int, default=[1])
+    p.add_argument("--seed-datas", nargs="+", type=int, default=None)
+    p.add_argument("--num-epochs", type=int, default=50)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--lr-max", type=float, default=0.01)
+    p.add_argument("--op", default="adam")
+    p.add_argument("--num-channels", type=int, default=4)
+    p.add_argument("--valid", action="store_true")
+    p.add_argument("--no-robust", action="store_true")
+    p.add_argument("--experiments-root", default="experiments")
+    args = p.parse_args(argv)
+
+    dataset = utils.file2dict(args.dataset_file)
+    base_cfg = TrainConfig(
+        dataset=args.dataset,
+        model=args.model,
+        num_epochs=args.num_epochs,
+        batch_size=args.batch_size,
+        lr_max=args.lr_max,
+        op=args.op,
+        num_channels=args.num_channels,
+        valid=args.valid,
+        experiments_root=args.experiments_root,
+    )
+    run_grid(
+        base_cfg,
+        dataset,
+        args.methods,
+        args.n_fractions,
+        args.seeds,
+        seed_datas=args.seed_datas,
+        robust=not args.no_robust,
+    )
+
+
+if __name__ == "__main__":
+    main()

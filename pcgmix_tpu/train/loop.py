@@ -73,6 +73,8 @@ class TrainConfig:
     save_artifacts: bool = True
     plot: bool = True  # write accuracy/loss/lr/times jpgs to the run dir
     track_variability: bool = False  # variability counter + plot (see counters)
+    checkpoint_every: int = 0  # epochs between orbax full-state checkpoints
+                               # (0 = final-weights-only, reference behavior)
     eval_batch_size: int = 1000
     cvd_map: Optional[dict] = None
 
@@ -220,11 +222,25 @@ def train_model(
     epoch_plot = np.array(sorted(set(np.linspace(1, cfg.num_epochs, 11).astype(int))))
     base_key = jax.random.PRNGKey(cfg.seed_fix)
     step_count = 0
+    start_epoch = 1
     times: list[float] = []
     lr_per_step: list[float] = []
     done = False
 
-    for epoch in range(1, cfg.num_epochs + 1):
+    ckpt_mgr = None
+    if cfg.checkpoint_every and run_dir:
+        from pcgmix_tpu.train.checkpoint import CheckpointManager
+
+        ckpt_mgr = CheckpointManager(os.path.join(run_dir, "checkpoints"))
+        if ckpt_mgr.latest_step() is not None:
+            state, restored_step = ckpt_mgr.restore(state)
+            step_count = restored_step
+            start_epoch = step_count // steps_per_epoch + 1
+            if progress:
+                print(f"resumed from checkpoint: step {step_count}, "
+                      f"epoch {start_epoch}")
+
+    for epoch in range(start_epoch, cfg.num_epochs + 1):
         t0 = time.time()
         epoch_losses: list[float] = []
         epoch_preds: list[np.ndarray] = []
@@ -422,9 +438,13 @@ def train_model(
                     )
                     if variability is not None and variability.steps:
                         plotters.plot_variability(variability, run_dir)
+        if ckpt_mgr is not None and epoch % cfg.checkpoint_every == 0:
+            ckpt_mgr.save(step_count, state)
         if done:
             break
 
+    if ckpt_mgr is not None:
+        ckpt_mgr.close()
     if run_dir:
         save_checkpoint(os.path.join(run_dir, "model.msgpack"), state)
     perf.dict["lr_per_step"] = lr_per_step

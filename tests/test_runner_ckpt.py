@@ -1,0 +1,72 @@
+"""Grid runner, orbax resume, and viz tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pcgmix_tpu.data import synthetic_physionet_dict
+from pcgmix_tpu.exp import experiment_dir
+from pcgmix_tpu.exp.runner import run_grid
+from pcgmix_tpu.train import TrainConfig, train_model
+
+DS = synthetic_physionet_dict(
+    num_wavs_train=16, num_wavs_test=4, segments_per_wav=2, sig_len=512, seed=9
+)
+
+
+def _base(root):
+    return TrainConfig(
+        dataset="PhysioNet", model="resnet9-5k", num_epochs=1, batch_size=8,
+        sig_len=512, experiments_root=str(root), loader_parity="numpy",
+        plot=False,
+    )
+
+
+def test_run_grid_and_resume_skip(tmp_path):
+    cfg = _base(tmp_path)
+    ran = run_grid(cfg, DS, ["base"], [1.0], [1], seed_datas=[1100001],
+                   robust=False, progress=False)
+    assert len(ran) == 1
+    assert os.path.exists(os.path.join(experiment_dir(ran[0]), "model.msgpack"))
+    # rerun skips the finished config (utils.experiment_already_done behavior)
+    ran2 = run_grid(cfg, DS, ["base"], [1.0], [1], seed_datas=[1100001],
+                    robust=False, progress=False)
+    assert ran2 == []
+
+
+def test_checkpoint_resume(tmp_path):
+    from pcgmix_tpu.train.checkpoint import CheckpointManager
+
+    cfg = _base(tmp_path)
+    cfg.num_epochs = 2
+    cfg.checkpoint_every = 1
+    perf1 = train_model(cfg, DS)
+    assert len(perf1["train_loss"]) >= 1
+    ckdir = os.path.join(experiment_dir(cfg), "checkpoints")
+    assert os.path.isdir(ckdir)
+    mgr = CheckpointManager(ckdir)
+    steps_before = mgr.latest_step()
+    mgr.close()
+    assert steps_before and steps_before > 0
+    # a rerun of the SAME config restores the final checkpoint and has no
+    # remaining epochs to train — it must not repeat any work
+    perf2 = train_model(cfg, DS, progress=False)
+    assert perf2["train_loss"] == []  # resumed past the last epoch
+    mgr = CheckpointManager(ckdir)
+    assert mgr.latest_step() == steps_before
+    mgr.close()
+
+
+def test_viz_helpers(tmp_path):
+    from pcgmix_tpu.exp.viz import show_sal, show_sig, show_spectrogram
+
+    sig = np.random.default_rng(0).normal(size=(4, 400))
+    p1 = show_sig(sig, frames=[0, 50, 150, 200, 380], cuts=[150],
+                  path=str(tmp_path / "sig.png"))
+    p2 = show_spectrogram(np.random.default_rng(1).normal(size=(64, 64)),
+                          frames=[5, 20, 30, 60], path=str(tmp_path / "spec.png"))
+    p3 = show_sal(np.random.default_rng(2).random(400),
+                  path=str(tmp_path / "sal.png"))
+    for p in (p1, p2, p3):
+        assert os.path.exists(p)
