@@ -683,6 +683,67 @@ class AugmentEngine:
         return prng.py_randint(step, 1, max_latent_depth(name))
 
     # ------------------------------------------------------------------ #
+    # scan support: structure-stable plans for multi-step dispatch
+    # ------------------------------------------------------------------ #
+    def plan_arrays_or_identity(self, step, frames, labels, wavs=None, **kw):
+        """Like :meth:`plan`, but ALWAYS returns an arrays dict with the
+        method's fixed structure: probability-gated-off steps come back as
+        identity plans (apply == no-op), so per-step plans can be stacked and
+        scanned in one dispatch (train.steps.make_multi_step).
+
+        Returns (arrays, plan_or_None)."""
+        plan = self.plan(step, frames, labels, wavs, **kw)
+        if plan is not None:
+            return plan.arrays, plan
+        prob = self.spec.prob
+        try:
+            self.spec.prob = 1.0  # force a structure template
+            forced = self.plan(step, frames, labels, wavs, **kw)
+        finally:
+            self.spec.prob = prob
+        return self._identity_arrays(forced.arrays, len(labels)), None
+
+    def _identity_arrays(self, arrays: dict, batch: int) -> dict:
+        """Rewrite a plan's arrays so apply() is the identity."""
+        T = self.cfg.sig_len
+        base = self.spec.base
+        out = {}
+        for k, v in arrays.items():
+            out[k] = np.array(v, copy=True) if isinstance(v, np.ndarray) else v
+        idn = np.arange(batch, dtype=np.int64)
+        for k in ("mix", "idx1", "idx2"):
+            if k in out:
+                out[k] = idn
+        if "len" in out:
+            out["len"][:] = 0
+            if base in ("labelcutmix", "lengthcutmix", "datasetcutmix",
+                        "wavcutmix", "cutmix", "swapsysdia", "cont-cutmix",
+                        "lc-nointrusion"):
+                # concat-style applies start from zeros: piece 0 must copy d1
+                out["dst"][:] = 0
+                out["src"][:] = 0
+                out["sel"][:] = 0
+                out["alpha"][:] = 0.0
+                out["len"][:, 0] = T
+        if "lam" in out:
+            out["lam"] = np.float32(1.0)
+        if "lam_t" in out:
+            out["lam_t"] = np.ones_like(out["lam_t"])
+        if "knots" in out:
+            out["knots"] = np.ones_like(out["knots"])
+        if "sinusoid" in out:
+            out["sinusoid"] = np.ones_like(out["sinusoid"])
+        for k in ("bb", "bb1", "bb2", "fbb", "ov"):
+            if k in out:
+                out[k] = np.zeros_like(out[k])
+        if "snr" in out:
+            out["snr"] = np.full_like(out["snr"], 300.0)  # noise std → ~0
+        for k in ("ch_c1", "ch_c2", "ch_last"):
+            if k in out:
+                out[k] = np.full_like(out[k], T)
+        return out
+
+    # ------------------------------------------------------------------ #
     # device: apply (jit-traceable; static structure fixed by self.spec)
     # ------------------------------------------------------------------ #
     def apply(self, data, target_ohe, arrays):

@@ -45,9 +45,11 @@ class EpochIterator:
         seed: int,
         step_count: int,
         parity: str = "torch",
+        materialize_data: bool = True,
     ):
         self.ds = ds
         self.batch_size = batch_size
+        self.materialize_data = materialize_data
         self.order = epoch_permutation(len(ds), seed, step_count, parity)
 
     def __len__(self) -> int:
@@ -57,14 +59,18 @@ class EpochIterator:
         bs = self.batch_size
         for b in range(len(self)):
             idx = self.order[b * bs : (b + 1) * bs]
-            yield {
-                "data": self.ds.data[idx],
+            out = {
                 "label": self.ds.label[idx],
                 "frames": self.ds.frames[idx],
                 "wav": self.ds.wav[idx],
                 "sig_qual": self.ds.sig_qual[idx],
                 "indices": idx,
             }
+            if self.materialize_data:
+                # skipped in device-resident mode: the jitted step gathers
+                # rows from the HBM-staged corpus by `indices`
+                out["data"] = self.ds.data[idx]
+            yield out
 
 
 def eval_batches(

@@ -11,7 +11,7 @@ U(-1/√fan_in, 1/√fan_in) biases.
 from __future__ import annotations
 
 import math
-from typing import Callable, Sequence
+from typing import Any, Callable, Sequence
 
 import flax.linen as nn
 import jax
@@ -48,13 +48,18 @@ def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
 
 
 class Conv1d(nn.Module):
-    """1-D conv on (B, T, C) with explicit symmetric padding (torch-style)."""
+    """1-D conv on (B, T, C) with explicit symmetric padding (torch-style).
+
+    ``dtype`` is the computation dtype (params stay float32): bfloat16 runs
+    the MXU at full rate on TPU; None keeps float32 for reference parity.
+    """
 
     features: int
     kernel_size: int
     padding: int | str = "SAME"
     use_bias: bool = True
     stride: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -68,6 +73,7 @@ class Conv1d(nn.Module):
             strides=(self.stride,),
             padding=pad,
             use_bias=self.use_bias,
+            dtype=self.dtype,
             kernel_init=torch_conv_kernel_init,
             bias_init=make_torch_bias_init(fan_in),
         )(x)
@@ -80,6 +86,7 @@ class Conv2d(nn.Module):
     kernel_size: int
     padding: int | str = "SAME"
     use_bias: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -92,6 +99,7 @@ class Conv2d(nn.Module):
             (self.kernel_size, self.kernel_size),
             padding=pad,
             use_bias=self.use_bias,
+            dtype=self.dtype,
             kernel_init=torch_conv_kernel_init,
             bias_init=make_torch_bias_init(fan_in),
         )(x)
@@ -101,11 +109,13 @@ class Dense(nn.Module):
     """Linear with torch-default init."""
 
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         return nn.Dense(
             self.features,
+            dtype=self.dtype,
             kernel_init=torch_linear_kernel_init,
             bias_init=make_torch_bias_init(x.shape[-1]),
         )(x)
@@ -115,6 +125,7 @@ class BatchNorm(nn.Module):
     """BatchNorm with torch defaults (momentum 0.1 torch == 0.9 ema, eps 1e-5)."""
 
     use_running_average: bool
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -122,6 +133,7 @@ class BatchNorm(nn.Module):
             use_running_average=self.use_running_average,
             momentum=0.9,
             epsilon=1e-5,
+            dtype=self.dtype,
         )(x)
 
 

@@ -48,20 +48,27 @@ MODEL_NAMES = (
 
 
 def build_model(
-    name: str, dataset: str = "PhysioNet", num_classes: int = 2, train: bool = True
+    name: str,
+    dataset: str = "PhysioNet",
+    num_classes: int = 2,
+    train: bool = True,
+    compute_dtype: Any = None,
 ) -> Any:
     """Instantiate a model by its reference name (train_model.py:294-386).
 
     ``dataset`` selects 2-D variants for spectrogram datasets and adjusts
-    nothing else — classifier sizes are shape-inferred.
+    nothing else — classifier sizes are shape-inferred.  ``compute_dtype``
+    (e.g. jnp.bfloat16) switches the ResNet9 compute path off float32 — a
+    TPU throughput mode, off by default for reference parity.
     """
     if dataset in ("PhysioNet(spec128)", "UMC(spec128)", "UMC(spec64)"):
         if name == "resnet9":
-            return ResNet9_2D(num_classes=num_classes, train=train)
+            return ResNet9_2D(num_classes=num_classes, train=train, dtype=compute_dtype)
         raise ValueError(f"2-D dataset {dataset!r} supports model 'resnet9' only")
     if name in RESNET9_PRESETS:
         return ResNet9_1D(
-            num_classes=num_classes, filters=RESNET9_PRESETS[name], train=train
+            num_classes=num_classes, filters=RESNET9_PRESETS[name], train=train,
+            dtype=compute_dtype,
         )
     if name in POTES_PRESETS:
         return PotesCNN(num_classes=num_classes, train=train, **POTES_PRESETS[name])

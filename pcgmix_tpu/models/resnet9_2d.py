@@ -8,7 +8,7 @@ train_model.py:294-302).  Depth protocol: models2d.py:29-63.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -26,11 +26,12 @@ class _ConvBlock2d(nn.Module):
     features: int
     pool: bool = False
     train: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        x = Conv2d(self.features, 3, padding=1)(x)
-        x = BatchNorm(use_running_average=not self.train)(x)
+        x = Conv2d(self.features, 3, padding=1, dtype=self.dtype)(x)
+        x = BatchNorm(use_running_average=not self.train, dtype=self.dtype)(x)
         x = nn.relu(x)
         if self.pool:
             x = max_pool_2d(x, 2)
@@ -43,19 +44,24 @@ class ResNet9_2D(nn.Module):
     num_classes: int = 2
     filters: Sequence[int] = (64, 128, 256, 512)
     train: bool = True
+    dtype: Any = None
+
+    def _block(self, features, name, pool=False):
+        return _ConvBlock2d(features, pool=pool, train=self.train,
+                            dtype=self.dtype, name=name)
 
     def stage1(self, x):
-        x = _ConvBlock2d(self.filters[0], train=self.train, name="conv1")(x)
-        x = _ConvBlock2d(self.filters[1], pool=True, train=self.train, name="conv2")(x)
-        r = _ConvBlock2d(self.filters[1], train=self.train, name="res1a")(x)
-        r = _ConvBlock2d(self.filters[1], train=self.train, name="res1b")(r)
+        x = self._block(self.filters[0], "conv1")(x)
+        x = self._block(self.filters[1], "conv2", pool=True)(x)
+        r = self._block(self.filters[1], "res1a")(x)
+        r = self._block(self.filters[1], "res1b")(r)
         return r + x
 
     def stage2(self, x):
-        x = _ConvBlock2d(self.filters[2], pool=True, train=self.train, name="conv3")(x)
-        x = _ConvBlock2d(self.filters[3], pool=True, train=self.train, name="conv4")(x)
-        r = _ConvBlock2d(self.filters[3], train=self.train, name="res2a")(x)
-        r = _ConvBlock2d(self.filters[3], train=self.train, name="res2b")(r)
+        x = self._block(self.filters[2], "conv3", pool=True)(x)
+        x = self._block(self.filters[3], "conv4", pool=True)(x)
+        r = self._block(self.filters[3], "res2a")(x)
+        r = self._block(self.filters[3], "res2b")(r)
         return r + x
 
     def stage3(self, x):

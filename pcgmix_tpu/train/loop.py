@@ -75,6 +75,9 @@ class TrainConfig:
     track_variability: bool = False  # variability counter + plot (see counters)
     checkpoint_every: int = 0  # epochs between orbax full-state checkpoints
                                # (0 = final-weights-only, reference behavior)
+    compute_dtype: str = "float32"  # "bfloat16" = full-rate MXU throughput
+                                    # mode (ResNet9 paths); float32 keeps
+                                    # reference numerical parity
     eval_batch_size: int = 1000
     cvd_map: Optional[dict] = None
 
@@ -165,8 +168,13 @@ def train_model(
     if num_steps == 0:
         raise ValueError("train split smaller than one batch")
 
-    model = build_model(cfg.model, cfg.dataset, cfg.num_classes, train=True)
-    model_eval = build_model(cfg.model, cfg.dataset, cfg.num_classes, train=False)
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    model = build_model(
+        cfg.model, cfg.dataset, cfg.num_classes, train=True, compute_dtype=dtype
+    )
+    model_eval = build_model(
+        cfg.model, cfg.dataset, cfg.num_classes, train=False, compute_dtype=dtype
+    )
 
     tx = make_optimizer(
         cfg.op, cfg.lr_max, cfg.weight_decay, cfg.grad_clip, num_steps, cfg.use_sched
@@ -191,13 +199,29 @@ def train_model(
     )
     selc_es = _selc_turnpoint(cfg)
     model_channels = cfg.num_channels if cfg.classical_space else None
+    # Device-resident corpus: stage the whole training array in HBM once and
+    # gather batches inside the jitted step, unless the loop itself must read
+    # batch tensors on host (analysis hooks, model-in-the-loop methods).
+    use_resident = not (
+        cfg.classical_space
+        or cfg.latent_space
+        or engine.spec.base in ("lc-nointrusion", "saliency-cutmix")
+        or engine.needs_pretrained_saliency
+        or engine.needs_latent_model
+    )
+    resident = {}
+    if use_resident:
+        resident = {
+            "train_data": jnp.asarray(train_ds.data),
+            "train_labels": jnp.asarray(train_ds.label),
+        }
     step_plain = make_train_step(
-        model, tx, selc_es=selc_es, model_channels=model_channels
+        model, tx, selc_es=selc_es, model_channels=model_channels, **resident
     )
     step_aug = (
         make_train_step(
             model, tx, selc_es=selc_es, engine=engine,
-            model_channels=model_channels,
+            model_channels=model_channels, **resident,
         )
         if engine.enabled
         else None
@@ -246,15 +270,21 @@ def train_model(
         epoch_preds: list[np.ndarray] = []
         epoch_targets: list[np.ndarray] = []
         it = EpochIterator(
-            train_ds, cfg.batch_size, cfg.seed, step_count, cfg.loader_parity
+            train_ds, cfg.batch_size, cfg.seed, step_count, cfg.loader_parity,
+            materialize_data=not use_resident,
         )
         for batch in it:
-            target_ohe = np.eye(cfg.num_classes, dtype=np.float32)[batch["label"]]
-            dev_batch = {
-                "data": jnp.asarray(batch["data"]),
-                "target_ohe": jnp.asarray(target_ohe),
-                "indices": jnp.asarray(batch["indices"]),
-            }
+            if use_resident:
+                dev_batch = {"indices": jnp.asarray(batch["indices"])}
+            else:
+                target_ohe = np.eye(cfg.num_classes, dtype=np.float32)[
+                    batch["label"]
+                ]
+                dev_batch = {
+                    "data": jnp.asarray(batch["data"]),
+                    "target_ohe": jnp.asarray(target_ohe),
+                    "indices": jnp.asarray(batch["indices"]),
+                }
             rng = jax.random.fold_in(base_key, step_count)
 
             plan = None
@@ -319,6 +349,7 @@ def train_model(
                         latent_depth=d,
                         manifold=engine.spec.manifold,
                         model_eval=model_eval,
+                        **resident,
                     )
                 state, out = latent_steps[d](state, dev_batch, plan.arrays, epoch, rng)
             else:

@@ -19,8 +19,9 @@ import jax.numpy as jnp
 
 def soft_target_ce(logits: jax.Array, target_ohe: jax.Array) -> jax.Array:
     """Mean cross-entropy against (possibly soft) one-hot targets
-    (train_model.py:51-54)."""
-    logp = jax.nn.log_softmax(logits, axis=1)
+    (train_model.py:51-54).  Computed in float32 regardless of the model's
+    compute dtype."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=1)
     return -jnp.mean(jnp.sum(logp * target_ohe, axis=1))
 
 
@@ -50,6 +51,8 @@ def selc_update(
     Returns (loss, new_soft_labels).
     """
     indices = indices.astype(jnp.int32)
+    logits = logits.astype(jnp.float32)
+    target_ohe = target_ohe.astype(jnp.float32)
     pred_detach = jax.nn.softmax(jax.lax.stop_gradient(logits), axis=1)
     rows = jnp.take(soft_labels, indices, axis=0)
     new_rows = momentum * rows + (1.0 - momentum) * pred_detach

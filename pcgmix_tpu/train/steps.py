@@ -78,6 +78,8 @@ def make_train_step(
     model_eval=None,
     donate: bool = True,
     model_channels: Optional[int] = None,
+    train_data: Optional[jax.Array] = None,
+    train_labels: Optional[jax.Array] = None,
 ) -> Callable:
     """Build a jitted train step.
 
@@ -88,12 +90,25 @@ def make_train_step(
     :1527-1531).  ``manifold`` runs the first pass in eval mode without
     gradients (augmentations.py:1525-1534); latentmixup keeps the first pass
     differentiable and in train mode (augmentations.py:1495).
+
+    With ``train_data``/``train_labels`` the whole corpus stays device
+    resident (it is tens of MB against 16 GB of HBM) and batches are
+    gathered on device from ``batch['indices']`` — the per-step host→device
+    traffic collapses to the few-KB plan.
     """
 
     def loss_fn(params, batch_stats, soft_labels, batch, plan, epoch, rng):
         variables = {"params": params, "batch_stats": batch_stats}
-        data = batch["data"]
-        target = batch["target_ohe"]
+        if train_data is not None:
+            idx = jnp.asarray(batch["indices"], jnp.int32)
+            data = jnp.take(train_data, idx, axis=0)
+            num_classes = soft_labels.shape[1]
+            target = jax.nn.one_hot(
+                jnp.take(train_labels, idx), num_classes, dtype=train_data.dtype
+            )
+        else:
+            data = batch["data"]
+            target = batch["target_ohe"]
         rngs = {"dropout": rng}
         if engine is not None and latent_depth is None:
             data, target = engine.apply(data, target, plan)
@@ -155,8 +170,38 @@ def make_train_step(
         )
         return new_state, {"loss": loss, "preds": preds, "target": tlabels}
 
+    step._loss_fn = loss_fn  # reused by make_multi_step
     donate_argnums = (0,) if donate else ()
-    return jax.jit(step, donate_argnums=donate_argnums)
+    jitted = jax.jit(step, donate_argnums=donate_argnums)
+    jitted._raw_step = step
+    return jitted
+
+
+def make_multi_step(single_step: Callable, donate: bool = True) -> Callable:
+    """Fuse K train steps into ONE dispatch via lax.scan.
+
+    ``single_step`` is a step built by :func:`make_train_step` (the unjitted
+    body is reused).  The caller passes per-step inputs stacked on a leading
+    K axis: ``indices_seq`` (K, B), ``plan_seq`` (pytree of (K, ...) arrays —
+    probability-gated-off steps encoded as identity plans, see
+    AugmentEngine.identity_arrays), and ``step_ids`` (K,) for RNG folding.
+    Host↔device round-trips amortize over K steps; per-step outputs come
+    back stacked.
+    """
+    body_step = single_step._raw_step
+
+    def multi(state: TrainState, indices_seq, plan_seq, step_ids, epoch, rng):
+        def body(st, xs):
+            idx, plan, sid = xs
+            st, out = body_step(
+                st, {"indices": idx}, plan, epoch, jax.random.fold_in(rng, sid)
+            )
+            return st, out
+
+        return jax.lax.scan(body, state, (indices_seq, plan_seq, step_ids))
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(multi, donate_argnums=donate_argnums)
 
 
 def make_eval_step(model_eval) -> Callable:

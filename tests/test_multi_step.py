@@ -1,0 +1,103 @@
+"""Multi-step scan path: one dispatch of K steps == K single dispatches."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pcgmix_tpu.augment.engine import AugmentConfig, AugmentEngine
+from pcgmix_tpu.data import EpochIterator, physionet_split, synthetic_physionet_dict
+from pcgmix_tpu.models import build_model
+from pcgmix_tpu.train.losses import init_selc_table
+from pcgmix_tpu.train.steps import (
+    TrainState,
+    make_multi_step,
+    make_optimizer,
+    make_train_step,
+)
+
+B, C, T = 8, 4, 320
+
+
+def _setup():
+    ds = synthetic_physionet_dict(
+        num_wavs_train=12, num_wavs_test=2, segments_per_wav=2, sig_len=T, seed=3
+    )
+    train_ds = physionet_split(ds, "train", train_balance=False)
+    model = build_model("resnet9-5k", train=True)
+    tx = make_optimizer("adam", 0.01, 1e-4, 0.1, 20, True)
+    v = model.init(jax.random.PRNGKey(4), jnp.zeros((1, C, T), jnp.float32))
+
+    def fresh():
+        cp = jax.tree_util.tree_map(jnp.array, v)
+        return TrainState(
+            cp["params"], cp.get("batch_stats", {}), tx.init(cp["params"]),
+            init_selc_table(train_ds.label, 2), jnp.asarray(0, jnp.int32),
+        )
+
+    # +0.45 apply probability: some of the scanned steps are gated off and
+    # must round-trip through identity plans
+    eng = AugmentEngine(
+        AugmentConfig("durmixmagwarp(0.2,4)+0.45", B, C, T, model="resnet9-5k")
+    )
+    step = make_train_step(
+        model, tx, selc_es=999, engine=eng, donate=False,
+        train_data=jnp.asarray(train_ds.data),
+        train_labels=jnp.asarray(train_ds.label),
+    )
+    batches = list(
+        EpochIterator(train_ds, B, 1, 0, "numpy", materialize_data=False)
+    )[:4]
+    return eng, step, fresh, batches
+
+
+def test_scan_matches_sequential_steps():
+    eng, step, fresh, batches = _setup()
+    key = jax.random.PRNGKey(7)
+
+    plans, gated = [], []
+    for sc, b in enumerate(batches):
+        arr, plan = eng.plan_arrays_or_identity(sc, b["frames"], b["label"], b["wav"])
+        plans.append(arr)
+        gated.append(plan is None)
+    assert any(gated) and not all(gated), "want a mix of active/identity steps"
+
+    # sequential
+    st = fresh()
+    losses_seq = []
+    for sc, (b, arr) in enumerate(zip(batches, plans)):
+        st, out = step(
+            st, {"indices": jnp.asarray(b["indices"])}, arr, 1,
+            jax.random.fold_in(key, sc),
+        )
+        losses_seq.append(float(out["loss"]))
+
+    # scanned
+    multi = make_multi_step(step, donate=False)
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *plans
+    )
+    idx_seq = jnp.asarray(np.stack([b["indices"] for b in batches]))
+    st2, outs = multi(
+        fresh(), idx_seq, stacked, jnp.arange(len(batches)), 1, key
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs["loss"]), losses_seq, rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(st2.params["linear"]["Dense_0"]["kernel"]),
+        np.asarray(st.params["linear"]["Dense_0"]["kernel"]),
+        rtol=1e-5, atol=1e-6,
+    )
+    assert int(st2.step) == len(batches)
+
+
+def test_identity_plan_is_noop():
+    eng, step, fresh, batches = _setup()
+    b = batches[0]
+    arr, _ = eng.plan_arrays_or_identity(0, b["frames"], b["label"], b["wav"])
+    ident = eng._identity_arrays(arr, B)
+    data = jnp.asarray(np.random.default_rng(0).normal(size=(B, C, T)), jnp.float32)
+    tgt = jnp.asarray(np.eye(2, dtype=np.float32)[b["label"]])
+    out, tgt2 = eng.apply(data, tgt, ident)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(data), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(tgt2), np.asarray(tgt), rtol=1e-6)
