@@ -74,6 +74,7 @@ def bench_tpu() -> float:
         AugmentConfig(
             method="durmixmagwarp(0.2,4)", batch_size=BATCH,
             num_channels=CHANNELS, sig_len=SIG_LEN, model="resnet9",
+            use_pallas=True,
         )
     )
     # device-resident corpus: the per-step host→device traffic is the

@@ -1,0 +1,120 @@
+"""Pallas TPU kernel for the piecewise segment mix.
+
+The XLA lowering of :func:`pcgmix_tpu.ops.piecewise.piecewise_mix_batch`
+materializes two full-length gathers per sample.  This kernel instead keeps
+each (C, T) sample row in VMEM and realizes the per-segment source windows
+as dynamic lane rotations (``pltpu.roll``) combined on the VPU — no gather,
+one pass over the row.  The partner row is fetched directly by the
+scalar-prefetched pair index driving the second input's index map, so the
+kernel reads exactly 2 rows per output row from HBM.
+
+Semantics are identical to piecewise_mix (verified against it in tests):
+
+    out[t] = base[t]                                      t uncovered
+    out[t] = a_k·base[t] + (1−a_k)·src_k[t + off_k]       t in piece k
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(n_pieces: int, base_is_d1: bool,
+            idx1_ref, idx2_ref, dst_ref, src_ref, len_ref, sel_ref, alpha_ref,
+            d1_ref, d2_ref, out_ref):
+    i = pl.program_id(0)
+    d1 = d1_ref[0]
+    d2 = d2_ref[0]
+    C, T = d1.shape
+    t = jax.lax.broadcasted_iota(jnp.int32, (C, T), 1)
+    out = d1 if base_is_d1 else jnp.zeros_like(d1)
+    for k in range(n_pieces):  # static unroll: K is 2..14
+        dst = dst_ref[i, k]
+        off = src_ref[i, k] - dst
+        length = len_ref[i, k]
+        a = alpha_ref[i, k]
+        # source window aligned to the output window via a lane rotation;
+        # normalize the shift to [0, T) — Mosaic's dynamic rotate mishandles
+        # negative amounts
+        shift = jnp.mod(-off, T)
+        rot2 = pltpu.roll(d2, shift, axis=1)
+        rot1 = pltpu.roll(d1, shift, axis=1)
+        srcv = jnp.where(sel_ref[i, k] > 0, rot2, rot1)
+        inside = (t >= dst) & (t < dst + length)
+        out = jnp.where(inside, a * d1 + (1.0 - a) * srcv, out)
+    out_ref[0] = out
+
+
+@functools.partial(jax.jit, static_argnames=("base_is_d1", "interpret"))
+def piecewise_mix_pairs_pallas(
+    data: jax.Array,
+    idx1: jax.Array,
+    idx2: jax.Array,
+    dst_start: jax.Array,
+    src_start: jax.Array,
+    length: jax.Array,
+    src_sel: jax.Array,
+    alpha: jax.Array,
+    *,
+    base_is_d1: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas piecewise mix over explicit row pairs: output row i mixes
+    data[idx1[i]] with data[idx2[i]] (output batch = len(idx1)).
+
+    Mosaic's dynamic lane rotation needs (8, 128)-aligned tiles, so rows are
+    zero-padded to (8·⌈C/8⌉, 128·⌈T/128⌉) around the kernel; piece masks only
+    ever cover real positions, so the wrap-around garbage in the padding is
+    never selected.
+    """
+    B, C, T = data.shape
+    N = idx1.shape[0]
+    cpad = (-C) % 8
+    tpad = (-T) % 128
+    if cpad or tpad:
+        padded = jnp.pad(data, ((0, 0), (0, cpad), (0, tpad)))
+        out = piecewise_mix_pairs_pallas(
+            padded, idx1, idx2, dst_start, src_start, length, src_sel, alpha,
+            base_is_d1=base_is_d1, interpret=interpret,
+        )
+        return out[:, :C, :T]
+    K = dst_start.shape[1]
+    i32 = lambda x: jnp.asarray(x, jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((1, C, T), lambda i, idx1, *s: (idx1[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, T), lambda i, idx1, idx2, *s: (idx2[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, C, T), lambda i, *s: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, K, base_is_d1),
+        out_shape=jax.ShapeDtypeStruct((N, C, T), data.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(
+        i32(idx1), i32(idx2), i32(dst_start), i32(src_start), i32(length),
+        i32(src_sel), jnp.asarray(alpha, data.dtype), data, data,
+    )
+
+
+def piecewise_mix_batch_pallas(
+    data, mix_indices, dst_start, src_start, length, src_sel, alpha,
+    *, base_is_d1: bool = True, interpret: bool = False,
+):
+    """Pallas counterpart of piecewise_mix_batch (idx1 = identity)."""
+    idx1 = jnp.arange(data.shape[0], dtype=jnp.int32)
+    return piecewise_mix_pairs_pallas(
+        data, idx1, mix_indices, dst_start, src_start, length, src_sel, alpha,
+        base_is_d1=base_is_d1, interpret=interpret,
+    )

@@ -78,6 +78,9 @@ class TrainConfig:
     compute_dtype: str = "float32"  # "bfloat16" = full-rate MXU throughput
                                     # mode (ResNet9 paths); float32 keeps
                                     # reference numerical parity
+    profile_dir: Optional[str] = None  # capture a jax.profiler trace of
+                                       # epoch 2 into this directory
+    use_pallas: bool = False  # TPU lane-rotation kernel for piecewise mixes
     eval_batch_size: int = 1000
     cvd_map: Optional[dict] = None
 
@@ -195,6 +198,7 @@ def train_model(
             spec_freq=train_ds.data.shape[-2] if cfg.spectrogram else 0,
             model=cfg.model,
             cvd_map=cfg.cvd_map,
+            use_pallas=cfg.use_pallas,
         )
     )
     selc_es = _selc_turnpoint(cfg)
@@ -265,6 +269,10 @@ def train_model(
                       f"epoch {start_epoch}")
 
     for epoch in range(start_epoch, cfg.num_epochs + 1):
+        # tracing/observability (SURVEY.md §5): profile one steady-state
+        # epoch (epoch 2 — past compilation) when profile_dir is set
+        if cfg.profile_dir and epoch == min(2, cfg.num_epochs):
+            jax.profiler.start_trace(cfg.profile_dir)
         t0 = time.time()
         epoch_losses: list[float] = []
         epoch_preds: list[np.ndarray] = []
@@ -432,6 +440,8 @@ def train_model(
 
         jax.block_until_ready(epoch_losses[-1])
         times.append(time.time() - t0)
+        if cfg.profile_dir and epoch == min(2, cfg.num_epochs):
+            jax.profiler.stop_trace()
         if epoch in epoch_plot:
             perf.add("epochs", epoch)
             perf.add("steps", step_count)
