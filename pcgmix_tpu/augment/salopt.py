@@ -47,16 +47,22 @@ def optimal_displacement_max_sum(s1: np.ndarray, s2: np.ndarray, lam: float) -> 
 
 def optimal_displacement_max_envelope(s1: np.ndarray, s2: np.ndarray, lam: float) -> int:
     """argmax displacement under the max-envelope objective
-    (augmentations.py:60-93)."""
+    (augmentations.py:60-93).  Uses the C++ native scan when available."""
     n1, n2 = len(s1), len(s2)
     if n1 == n2:
         return 0
+    from pcgmix_tpu import native
+
     if n1 > n2:
+        if native.available():
+            return native.opt_disp_env(s1, s2)
         windows = sliding_window_view(s1, n2)  # (n1-n2+1, n2)
         total = np.sum(s1, dtype=np.float64) - windows.sum(
             axis=1, dtype=np.float64
         ) + np.maximum(windows, s2[None, :]).sum(axis=1, dtype=np.float64)
         return int(np.argmax(np.round(total, 12)))
+    # shorter-s1 case: only the overlapped window contributes
+    # (augmentations.py:79-93)
     windows = sliding_window_view(s2, n1)
     total = np.maximum(windows, s1[None, :]).sum(axis=1, dtype=np.float64)
     return int(np.argmax(np.round(total, 12)))

@@ -163,24 +163,28 @@ def mfcc(y, sr, n_fft, hop_length, n_mfcc: int = 13) -> np.ndarray:
 
 def sample_entropy(y: np.ndarray, order: int = 2) -> float:
     """antropy.sample_entropy defaults: order=2, Chebyshev distance,
-    tolerance r = 0.2·std(y)."""
+    tolerance r = 0.2·std(y); both match counts range over the n−order
+    templates (antropy's convention).  Dispatches to the C++ native kernel
+    when available (pcgmix_tpu.native)."""
     y = np.asarray(y, np.float64)
     n = len(y)
     if n <= order + 1:
         return np.nan
     r = 0.2 * np.std(y, ddof=0)
 
-    def count_matches(m: int) -> int:
-        templates = np.lib.stride_tricks.sliding_window_view(y, m)
-        # Chebyshev distances between all template pairs (i < j)
-        total = 0
-        for i in range(len(templates) - 1):
-            d = np.max(np.abs(templates[i + 1 :] - templates[i]), axis=1)
-            total += int(np.sum(d < r))
-        return total
+    from pcgmix_tpu import native
 
-    b = count_matches(order)
-    a = count_matches(order + 1)
+    if native.available():
+        return native.sample_entropy(y, order, r)
+
+    tm = np.lib.stride_tricks.sliding_window_view(y, order)[: n - order]
+    tm1 = np.lib.stride_tricks.sliding_window_view(y, order + 1)
+    b = a = 0
+    for i in range(len(tm) - 1):
+        d = np.max(np.abs(tm[i + 1 :] - tm[i]), axis=1)
+        b += int(np.sum(d < r))
+        d1 = np.max(np.abs(tm1[i + 1 :] - tm1[i]), axis=1)
+        a += int(np.sum(d1 < r))
     if a == 0 or b == 0:
         return np.nan
     return -np.log(a / b)
