@@ -46,6 +46,33 @@ class GridResult:
     num_runs: list
 
 
+def results_table(
+    cfg,
+    methods: Sequence[str],
+    n_fractions: Sequence[float],
+    metric: str = "Accuracy",
+):
+    """Aggregate grid table: one 'mean±SD' column per method, one row per
+    n_fraction — the layout of the paper's headline tables
+    (results_final_full.ipynb cells 4/17 → BASELINE.md)."""
+    import pandas as pd
+
+    table = {"n_frac": list(n_fractions)}
+    for method in methods:
+        run = copy.deepcopy(cfg)
+        run.method = method
+        res = read_experiments_all_dataseeds(run, n_fractions, metric)
+        col = []
+        for nf in n_fractions:
+            if nf in res.n_fractions:
+                i = res.n_fractions.index(nf)
+                col.append(f"{res.mean[i]:.2f}±{res.std[i]:.2f}")
+            else:
+                col.append("—")
+        table[method] = col
+    return pd.DataFrame(table)
+
+
 def read_experiments_all_dataseeds(
     cfg,
     n_fractions: Sequence[float],

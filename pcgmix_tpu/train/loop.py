@@ -493,14 +493,23 @@ def train_model(
 
 
 def evaluate(cfg, eval_step, state, test_ds, perf, class_majority=False):
-    """Recording-level test pass (test_data_accuracy, train_model.py:591-670)."""
+    """Recording-level test pass (test_data_accuracy, train_model.py:591-670).
+
+    The test tensors are staged on device once per split (cached on the
+    dataset object) — the reference re-uploads them every plot epoch."""
+    staged = getattr(test_ds, "_staged_eval", None)
+    if staged is None:
+        staged = [
+            (jnp.asarray(b["data"]),
+             jnp.asarray(np.eye(cfg.num_classes, dtype=np.float32)[b["label"]]),
+             b)
+            for b in eval_batches(test_ds, cfg.eval_batch_size)
+        ]
+        test_ds._staged_eval = staged
     probs_all, loss_sum, labels, wavs, n = [], 0.0, [], [], 0
-    for batch in eval_batches(test_ds, cfg.eval_batch_size):
-        target_ohe = np.eye(cfg.num_classes, dtype=np.float32)[batch["label"]]
-        probs, losses = eval_step(
-            state.params, state.batch_stats, jnp.asarray(batch["data"]),
-            jnp.asarray(target_ohe),
-        )
+    for data_dev, target_dev, batch in staged:
+        probs, losses = eval_step(state.params, state.batch_stats, data_dev,
+                                  target_dev)
         mask = batch["mask"]
         probs_all.append(np.asarray(probs)[mask])
         loss_sum += float(np.asarray(losses)[mask].sum())
