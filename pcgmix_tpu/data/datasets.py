@@ -9,7 +9,7 @@ for PhysioNet.  These dicts (zlib-pickles via utils.dict2file) load directly.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 

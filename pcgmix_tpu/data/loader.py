@@ -9,7 +9,7 @@ indices; batches are contiguous gathers of the packed arrays.
 
 from __future__ import annotations
 
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 

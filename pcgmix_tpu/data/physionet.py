@@ -15,8 +15,6 @@ applies the same steps to spectrogram dicts):
 from __future__ import annotations
 
 import random
-from typing import Optional
-
 import numpy as np
 
 from pcgmix_tpu.data.datasets import ArrayDataset

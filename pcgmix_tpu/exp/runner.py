@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import argparse
 import copy
-import dataclasses
 
 from pcgmix_tpu import utils
 from pcgmix_tpu.exp.dirs import experiment_already_done, experiment_dir

@@ -15,8 +15,6 @@ explicitly and loads once.
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

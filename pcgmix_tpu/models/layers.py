@@ -11,7 +11,7 @@ U(-1/√fan_in, 1/√fan_in) biases.
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Sequence
+from typing import Any, Callable
 
 import flax.linen as nn
 import jax

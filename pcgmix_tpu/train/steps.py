@@ -9,7 +9,6 @@ only per-step host work is the O(batch) plan and the metric pulls.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Optional
 
 import flax.struct
@@ -17,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from pcgmix_tpu.train.losses import selc_update, soft_target_ce
+from pcgmix_tpu.train.losses import selc_update
 from pcgmix_tpu.train.schedule import onecycle_beta1, onecycle_lr
 
 
