@@ -77,6 +77,32 @@ def aggregate_features_single(features: pd.DataFrame) -> pd.DataFrame:
     return pd.concat(out).reset_index(drop=True)
 
 
+def mean_confidence_interval(data, confidence: float = 0.95):
+    """(mean, low, high) t-interval (classical.py:1295-1300)."""
+    import scipy.stats
+
+    a = 1.0 * np.asarray(data)
+    m, se = np.mean(a), scipy.stats.sem(a)
+    h = se * scipy.stats.t.ppf((1 + confidence) / 2.0, len(a) - 1)
+    return m, m - h, m + h
+
+
+def mean_sd_95ci(data) -> str:
+    """'mean (SD; low-high)' summary string (classical.py:1303-1309)."""
+    m, lo, hi = mean_confidence_interval(data)
+    return f"{np.mean(data):.5f} ({np.std(data):.2f}; {lo:.2f}-{hi:.2f})"
+
+
+def generate_ncv_folds(wavs, fold_number: int = 5, seed: int = 4):
+    """Seeded shuffled interleaved CV partitions over recordings
+    (classical.py:1312-1317)."""
+    import random
+
+    wavs = list(wavs)
+    random.Random(seed).shuffle(wavs)
+    return [wavs[i::fold_number] for i in range(fold_number)]
+
+
 def search_space_grid(clf_name: str, seed: int) -> dict:
     """Hyperparameter grids for fine-tuning (classical.py:1320-1388)."""
     grids = {

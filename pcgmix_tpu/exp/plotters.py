@@ -118,6 +118,32 @@ def plot_variability(variability_counter, run_dir) -> str:
     return _save(fig, os.path.join(run_dir, "variability.jpg"))
 
 
+def plot_wav_predprobas(pred_dict, wav_targets_dict, epoch, run_dir) -> str:
+    """Per-recording mean abnormal-probability bars, colored by correctness
+    (plot_wav_predprobas_boxplot, train_model.py:690-729)."""
+    wav_sorted = sorted(wav_targets_dict, key=lambda k: wav_targets_dict[k])
+    labels = [wav_targets_dict[w] for w in wav_sorted]
+    means = [float(np.mean([p[1] for p in pred_dict[w]])) for w in wav_sorted]
+    thresh = 0.5
+    colors = [
+        "green" if (l == 1) == (m >= thresh) else "red"
+        for l, m in zip(labels, means)
+    ]
+    n_normal = labels.count(0)
+    fig = plt.figure(figsize=(45, 5))
+    xs = np.arange(len(wav_sorted))
+    plt.bar(xs, means, width=0.8, color=colors)
+    plt.axhline(y=thresh, color="k")
+    if 0 < n_normal < len(xs):
+        plt.axvline(x=xs[n_normal - 1] + 0.5, color="k")
+    plt.xticks(xs, [f"{w}_{l}" for w, l in zip(wav_sorted, labels)], rotation=90)
+    plt.ylabel("Mean abnormal prediction probability")
+    plt.ylim(0, 1)
+    plt.tight_layout()
+    d = utils.check_folder(os.path.join(run_dir, "test_wav_predprobas"))
+    return _save(fig, os.path.join(d, f"test_wav_predprobas_{epoch}.jpg"))
+
+
 def plot_epoch_loss(loss_correct, loss_incorrect, epoch, run_dir) -> str:
     """Histogram of normalized per-sample losses, correct vs incorrect
     (plotters.py:19-40)."""
