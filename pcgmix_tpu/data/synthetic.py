@@ -135,11 +135,13 @@ def synthetic_spectrogram_dict(
                 wavs.append(name)
                 sq.append(1)
         return {
-            "data": np.stack(data),
-            "label": np.array(labels),
-            "frames": np.stack(frames),
+            "data": (
+                np.stack(data) if data else np.zeros((0, size, size), np.float32)
+            ),
+            "label": np.array(labels, np.int64),
+            "frames": np.stack(frames) if frames else np.zeros((0, 5), np.int64),
             "wav": np.array(wavs, object),
-            "sig_qual": np.array(sq),
+            "sig_qual": np.array(sq, np.int64),
         }
 
     return {

@@ -1,0 +1,112 @@
+"""Cross-framework accuracy check: our JAX training vs a torch replica.
+
+Trains the same ResNet9 topology on the same synthetic PhysioNet-shaped
+dataset with the same hyperparameters (OneCycle Adam lr_max=0.01, value clip
+0.1, wd 1e-4, batch 16) in both frameworks and compares recording-level test
+accuracy.  This is the closest possible stand-in for the reference-parity
+check while the real corpus is unavailable: it validates that the training
+dynamics (init scheme, BN, schedule, clipping, eval protocol) land in the
+same place.
+
+Run: python scripts/crosscheck_torch.py
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pcgmix_tpu.data import physionet_split, synthetic_physionet_dict
+from pcgmix_tpu.train import TrainConfig, train_model
+from pcgmix_tpu.train.metrics import recording_level_eval
+
+SIG_LEN, BATCH, EPOCHS = 512, 16, 12
+
+
+def train_jax(ds):
+    cfg = TrainConfig(
+        model="resnet9-5k", method="base", num_epochs=EPOCHS, batch_size=BATCH,
+        sig_len=SIG_LEN, save_artifacts=False, loader_parity="numpy",
+    )
+    perf = train_model(cfg, ds)
+    return perf["test_accuracy"][-1]
+
+
+def train_torch(ds):
+    import torch
+    import torch.nn as nn
+
+    torch.manual_seed(4)
+    torch.set_num_threads(1)
+
+    def block(ci, co, pool=False):
+        layers = [nn.Conv1d(ci, co, 3, padding=1), nn.BatchNorm1d(co), nn.ReLU()]
+        if pool:
+            layers.append(nn.MaxPool1d(2))
+        return nn.Sequential(*layers)
+
+    class Net(nn.Module):
+        def __init__(self, f=(2, 4, 8, 16)):
+            super().__init__()
+            self.c1, self.c2 = block(4, f[0]), block(f[0], f[1], True)
+            self.r1 = nn.Sequential(block(f[1], f[1]), block(f[1], f[1]))
+            self.c3, self.c4 = block(f[1], f[2], True), block(f[2], f[3], True)
+            self.r2 = nn.Sequential(block(f[3], f[3]), block(f[3], f[3]))
+            self.pool, self.fc = nn.MaxPool1d(4), nn.LazyLinear(2)
+
+        def forward(self, x):
+            x = self.c2(self.c1(x))
+            x = self.r1(x) + x
+            x = self.c4(self.c3(x))
+            x = self.r2(x) + x
+            return self.fc(torch.flatten(self.pool(x), 1))
+
+    train = physionet_split(ds, "train")
+    test = physionet_split(ds, "test")
+    model = Net()
+    model(torch.zeros(1, 4, SIG_LEN))  # materialize lazy linear
+    opt = torch.optim.Adam(model.parameters(), lr=0.01, weight_decay=1e-4)
+    steps = EPOCHS * (len(train) // BATCH)
+    sched = torch.optim.lr_scheduler.OneCycleLR(opt, max_lr=0.01, total_steps=steps)
+    x_all = torch.from_numpy(train.data.astype(np.float32))
+    y_all = torch.from_numpy(train.label)
+    rng = np.random.default_rng(0)
+    model.train()
+    for epoch in range(EPOCHS):
+        order = rng.permutation(len(train))
+        for b in range(len(train) // BATCH):
+            idx = order[b * BATCH : (b + 1) * BATCH]
+            out = model(x_all[idx])
+            loss = nn.functional.cross_entropy(out, y_all[idx])
+            loss.backward()
+            nn.utils.clip_grad_value_(model.parameters(), 0.1)
+            opt.step()
+            opt.zero_grad()
+            sched.step()
+    model.eval()
+    with torch.no_grad():
+        probs = torch.softmax(
+            model(torch.from_numpy(test.data.astype(np.float32))), dim=1
+        ).numpy()
+    return recording_level_eval(probs, test.label, test.wav)["test_accuracy"]
+
+
+def main():
+    accs_jax, accs_torch = [], []
+    for seed in (1, 2, 3):
+        ds = synthetic_physionet_dict(
+            num_wavs_train=24, num_wavs_test=10, segments_per_wav=3,
+            sig_len=SIG_LEN, seed=seed,
+        )
+        accs_jax.append(train_jax(ds))
+        accs_torch.append(train_torch(ds))
+        print(f"seed {seed}: jax={accs_jax[-1]:.2f} torch={accs_torch[-1]:.2f}",
+              flush=True)
+    print(
+        f"mean: jax={np.mean(accs_jax):.2f}±{np.std(accs_jax):.2f} "
+        f"torch={np.mean(accs_torch):.2f}±{np.std(accs_torch):.2f} "
+        f"delta={np.mean(accs_jax) - np.mean(accs_torch):+.2f}"
+    )
+
+
+if __name__ == "__main__":
+    main()
