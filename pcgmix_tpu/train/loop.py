@@ -81,6 +81,9 @@ class TrainConfig:
     profile_dir: Optional[str] = None  # capture a jax.profiler trace of
                                        # epoch 2 into this directory
     use_pallas: bool = False  # TPU lane-rotation kernel for piecewise mixes
+    steps_per_dispatch: int = 1  # >1: fuse K steps per dispatch via lax.scan
+                                 # (device-resident methods only; gated-off
+                                 # steps ride as identity plans)
     eval_batch_size: int = 1000
     cvd_map: Optional[dict] = None
 
@@ -234,6 +237,23 @@ def train_model(
     eval_step = make_eval_step(model_eval)
     cand_loss_fn = make_forward_loss(model_eval)
 
+    # multi-step scan path: K steps per dispatch, amortizing host↔device
+    # round-trips; only for methods whose plans need no model-in-the-loop
+    scan_k = cfg.steps_per_dispatch
+    scan_mode = (
+        scan_k > 1
+        and use_resident
+        and (
+            not engine.enabled
+            or (engine.spec.base != "latentmixup" and not engine.spec.manifold)
+        )
+    )
+    multi_step = None
+    if scan_mode:
+        from pcgmix_tpu.train.steps import make_multi_step
+
+        multi_step = make_multi_step(step_aug if engine.enabled else step_plain)
+
     saliency_fn = None
     if engine.needs_pretrained_saliency:
         if saliency_model_provider is None:
@@ -281,7 +301,75 @@ def train_model(
             train_ds, cfg.batch_size, cfg.seed, step_count, cfg.loader_parity,
             materialize_data=not use_resident,
         )
-        for batch in it:
+        if scan_mode:
+            buf_idx, buf_plans, buf_sids = [], [], []
+
+            def flush_chunk():
+                nonlocal state
+                stacked = (
+                    jax.tree_util.tree_map(
+                        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                        *buf_plans,
+                    )
+                    if engine.enabled
+                    else {}
+                )
+                state, outs = multi_step(
+                    state, jnp.asarray(np.stack(buf_idx)), stacked,
+                    jnp.asarray(buf_sids), epoch, base_key,
+                )
+                epoch_losses.append(outs["loss"])
+                epoch_preds.append(outs["preds"].reshape(-1))
+                epoch_targets.append(outs["target"].reshape(-1))
+                buf_idx.clear()
+                buf_plans.clear()
+                buf_sids.clear()
+
+            for batch in it:
+                if engine.enabled:
+                    arrays, plan = engine.plan_arrays_or_identity(
+                        step_count, batch["frames"], batch["label"], batch["wav"]
+                    )
+                else:
+                    arrays, plan = {}, None
+                buf_idx.append(batch["indices"])
+                buf_plans.append(arrays)
+                buf_sids.append(step_count)
+                if variability is not None:
+                    variability.add(
+                        batch["indices"],
+                        plan.mix_indices if plan is not None else None,
+                        plan.cut if plan is not None else None,
+                        step_count,
+                    )
+                if cfg.use_sched:
+                    from pcgmix_tpu.train.schedule import onecycle_lr
+
+                    lr_per_step.append(
+                        float(onecycle_lr(num_steps, cfg.lr_max)(step_count))
+                    )
+                else:
+                    lr_per_step.append(cfg.lr_max)
+                step_count += 1
+                if len(buf_idx) == scan_k:
+                    flush_chunk()
+                if step_count >= num_steps:
+                    done = True
+                    break
+            # partial chunk: single-step dispatches (a different-K scan would
+            # recompile)
+            single = step_aug if engine.enabled else step_plain
+            for idx, arrays, sid in zip(list(buf_idx), list(buf_plans), buf_sids):
+                state, out = single(
+                    state, {"indices": jnp.asarray(idx)},
+                    arrays if engine.enabled else None, epoch,
+                    jax.random.fold_in(base_key, sid),
+                )
+                epoch_losses.append(out["loss"])
+                epoch_preds.append(out["preds"])
+                epoch_targets.append(out["target"])
+            buf_idx.clear()
+        for batch in (it if not scan_mode else ()):
             if use_resident:
                 dev_batch = {"indices": jnp.asarray(batch["indices"])}
             else:
@@ -445,12 +533,15 @@ def train_model(
         if epoch in epoch_plot:
             perf.add("epochs", epoch)
             perf.add("steps", step_count)
-            perf.add("train_loss", float(np.mean([float(l) for l in epoch_losses])))
+            losses_np = np.concatenate(
+                [np.atleast_1d(np.asarray(l)) for l in epoch_losses]
+            )
+            perf.add("train_loss", float(losses_np.mean()))
             perf.add(
                 "train_accuracy",
                 segment_accuracy(
-                    np.concatenate([np.asarray(p) for p in epoch_preds]),
-                    np.concatenate([np.asarray(t) for t in epoch_targets]),
+                    np.concatenate([np.asarray(p).ravel() for p in epoch_preds]),
+                    np.concatenate([np.asarray(t).ravel() for t in epoch_targets]),
                 ),
             )
             evaluate(cfg, eval_step, state, test_ds, perf, engine.spec.class_majority)
