@@ -205,6 +205,25 @@ def test_s1s2mask(rng):
     np.testing.assert_array_equal(out, exp)
 
 
+def test_lengthcutmix_with_cutout(rng):
+    """Composed 'cutout' modifier zeroes the [cf1, cf2)·f_new[-1] window of
+    the spliced instance (augmentations.py:1140-1148)."""
+    data, frames, labels, target, plan, out, tgt = run(
+        "lengthcutmix(5bins)cutout", rng
+    )
+    lo, hi = sorted(
+        pyrandom.Random(STEP + k * 131071).uniform(0, 1) for k in range(2)
+    )
+    for i in range(B):
+        exp, f_new = concat_cutmix_oracle(
+            data[i], data[plan.mix_indices[i]], frames[i],
+            frames[plan.mix_indices[i]], 2, T,
+        )
+        bb0, bb1 = int(lo * f_new[-1]), int(hi * f_new[-1])
+        exp[:, bb0:bb1] = 0
+        np.testing.assert_allclose(out[i], exp, rtol=1e-6, atol=1e-6)
+
+
 def test_base_method_is_noop():
     eng = AugmentEngine(cfg_for("base"))
     assert not eng.enabled
