@@ -769,6 +769,20 @@ class AugmentEngine:
         base = spec.base
         if base in ("durratiomixup", "durmixmagwarp", "durmixrespscale",
                     "durmixfreqmask", "durmixtimemask", "durmixcutout"):
+            if base == "durmixmagwarp" and cfg.use_pallas and data.ndim == 3:
+                # one fused kernel: pair gather + segment blend + spline warp
+                from pcgmix_tpu.ops.pallas_mix import pcgmix_plus_fused_pallas
+
+                out = pcgmix_plus_fused_pallas(
+                    data, arrays["mix"], arrays["dst"], arrays["src"],
+                    arrays["len"], arrays["sel"], arrays["alpha"],
+                    arrays["knots"],
+                )
+                if spec.mix_all_targets:
+                    target_ohe = _blend_targets(
+                        target_ohe, arrays["mix"], arrays["lam"]
+                    )
+                return out, target_ohe
             out = self._keepdur_apply(data, arrays)
             if spec.mix_all_targets:
                 target_ohe = _blend_targets(target_ohe, arrays["mix"], arrays["lam"])

@@ -20,6 +20,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -117,4 +118,117 @@ def piecewise_mix_batch_pallas(
     return piecewise_mix_pairs_pallas(
         data, idx1, mix_indices, dst_start, src_start, length, src_sel, alpha,
         base_is_d1=base_is_d1, interpret=interpret,
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Fully-fused PCGmix+ kernel: pair gather + segment blend + magnitude warp
+# --------------------------------------------------------------------------- #
+
+
+def _kernel_fused(n_pieces: int,
+                  mix_ref, dst_ref, src_ref, len_ref, sel_ref, alpha_ref,
+                  d1_ref, d2_ref, knots_ref, basis_ref, out_ref):
+    i = pl.program_id(0)
+    d1 = d1_ref[0]
+    d2 = d2_ref[0]
+    C, T = d1.shape
+    t = jax.lax.broadcasted_iota(jnp.int32, (C, T), 1)
+    out = d1
+    for k in range(n_pieces):
+        dst = dst_ref[i, k]
+        off = src_ref[i, k] - dst
+        shift = jnp.mod(-off, T)
+        rot2 = pltpu.roll(d2, shift, axis=1)
+        rot1 = pltpu.roll(d1, shift, axis=1)
+        srcv = jnp.where(sel_ref[i, k] > 0, rot2, rot1)
+        inside = (t >= dst) & (t < dst + len_ref[i, k])
+        a = alpha_ref[i, k]
+        out = jnp.where(inside, a * d1 + (1.0 - a) * srcv, out)
+    # magnitude warp: warper (T, C) = basis (T, K2) @ knots (K2, C) on the
+    # MXU; HIGHEST keeps the fp32 spline exact (scipy parity)
+    warper = jnp.dot(basis_ref[...], knots_ref[0],
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    out_ref[0] = out * warper.T
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pcgmix_plus_fused_pallas(
+    data: jax.Array,
+    mix_indices: jax.Array,
+    dst_start: jax.Array,
+    src_start: jax.Array,
+    length: jax.Array,
+    src_sel: jax.Array,
+    alpha: jax.Array,
+    knots: jax.Array,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """One kernel for the whole durmixmagwarp augment (augmentations.py:
+    864-929 semantics): per output row, fetch the sample and its partner,
+    blend the four cardiac segments via lane rotations, and multiply by the
+    cubic-spline magnitude envelope evaluated as a basis×knots matmul.
+
+    data (B, C, T); knots (B, knot+2, C); basis comes from
+    ops.spline.cubic_spline_basis (linearity makes this exact vs scipy).
+    """
+    from pcgmix_tpu.ops.spline import cubic_spline_basis
+
+    B, C, T = data.shape
+    K2 = knots.shape[1]
+    cpad = (-C) % 8
+    tpad = (-T) % 128
+    kpad = (-K2) % 8
+    basis = np.asarray(
+        cubic_spline_basis(T, K2 - 2), dtype=data.dtype
+    )
+    if cpad or tpad or kpad:
+        padded = jnp.pad(data, ((0, 0), (0, cpad), (0, tpad)))
+        knots_p = jnp.pad(knots, ((0, 0), (0, kpad), (0, cpad)))
+        out = _fused_call(
+            padded, mix_indices, dst_start, src_start, length, src_sel, alpha,
+            knots_p,
+            jnp.pad(jnp.asarray(basis), ((0, tpad), (0, kpad))),
+            interpret,
+        )
+        return out[:, :C, :T]
+    return _fused_call(
+        data, mix_indices, dst_start, src_start, length, src_sel, alpha,
+        knots, jnp.asarray(basis), interpret,
+    )
+
+
+def _fused_call(data, mix, dst, src, length, sel, alpha, knots, basis,
+                interpret):
+    B, C, T = data.shape
+    K2 = knots.shape[1]
+    K = dst.shape[1]
+    i32 = lambda x: jnp.asarray(x, jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, C, T), lambda i, *s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, T), lambda i, mixr, *s: (mixr[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K2, C), lambda i, *s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, K2), lambda i, *s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, C, T), lambda i, *s: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_fused, K),
+        out_shape=jax.ShapeDtypeStruct(data.shape, data.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(
+        i32(mix), i32(dst), i32(src), i32(length), i32(sel),
+        jnp.asarray(alpha, data.dtype), data, data,
+        jnp.asarray(knots, data.dtype), basis,
     )
