@@ -33,7 +33,9 @@ def setup():
         )
 
     eng = AugmentEngine(AugmentConfig("durratiomixup", B, C, T, model="resnet9-5k"))
-    step = make_train_step(model, tx, selc_es=999, engine=eng, donate=False)
+    # selc_es=0 with epoch=1 exercises the SELC soft-label scatter under
+    # sharding (SURVEY.md §7 "SELC + per-example indices under sharding")
+    step = make_train_step(model, tx, selc_es=0, engine=eng, donate=False)
     idx = np.arange(B) % len(train_ds)
     plan = eng.plan(0, train_ds.frames[idx], train_ds.label[idx])
     batch = {
@@ -71,3 +73,11 @@ def test_dp_step_matches_single_device(setup):
     np.testing.assert_allclose(k2, k1, rtol=1e-4, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(out2["preds"]),
                                   np.asarray(out1["preds"]))
+    # SELC table update (a scatter by global sample index) is identical,
+    # and actually happened (epoch 1 > es 0 activates the EMA write)
+    np.testing.assert_allclose(
+        np.asarray(st2.soft_labels), np.asarray(st1.soft_labels),
+        rtol=1e-5, atol=1e-6,
+    )
+    assert not np.allclose(np.asarray(st1.soft_labels),
+                           np.asarray(fresh().soft_labels))
