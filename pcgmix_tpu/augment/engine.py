@@ -749,13 +749,22 @@ class AugmentEngine:
     # device: apply (jit-traceable; static structure fixed by self.spec)
     # ------------------------------------------------------------------ #
     def _keepdur_apply(self, data, arrays):
-        if self.cfg.use_pallas and data.ndim == 3:
+        if self.cfg.use_pallas:
             from pcgmix_tpu.ops.pallas_mix import piecewise_mix_batch_pallas
 
-            return piecewise_mix_batch_pallas(
-                data, arrays["mix"], arrays["dst"], arrays["src"],
-                arrays["len"], arrays["sel"], arrays["alpha"],
-            )
+            if data.ndim == 3:
+                return piecewise_mix_batch_pallas(
+                    data, arrays["mix"], arrays["dst"], arrays["src"],
+                    arrays["len"], arrays["sel"], arrays["alpha"],
+                )
+            if data.ndim == 4 and data.shape[1] == 1:
+                # spectrograms (B, 1, F, T): frequency rows broadcast across
+                # the time-axis pieces exactly like channels do
+                out = piecewise_mix_batch_pallas(
+                    data[:, 0], arrays["mix"], arrays["dst"], arrays["src"],
+                    arrays["len"], arrays["sel"], arrays["alpha"],
+                )
+                return out[:, None]
         d2 = jnp.take(data, jnp.asarray(arrays["mix"], jnp.int32), axis=0)
         return _vmapped_pieces(data, d2, arrays)
 
