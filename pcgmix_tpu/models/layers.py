@@ -169,11 +169,13 @@ class ConvBNAct(nn.Module):
     kernel_size: int
     act: Callable | None = nn.relu
     train: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        x = Conv1d(self.features, self.kernel_size, "SAME", use_bias=False)(x)
-        x = BatchNorm(use_running_average=not self.train)(x)
+        x = Conv1d(self.features, self.kernel_size, "SAME", use_bias=False,
+                   dtype=self.dtype)(x)
+        x = BatchNorm(use_running_average=not self.train, dtype=self.dtype)(x)
         if self.act is not None:
             x = self.act(x)
         return x

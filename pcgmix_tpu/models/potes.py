@@ -16,7 +16,7 @@ Depth protocol (models.py:383-424): depth 1 == the 20-d hidden features
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -28,13 +28,14 @@ class _PotesBranch(nn.Module):
     layers: Sequence[int]
     dropout: float
     train: bool
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        x = Conv1d(self.layers[0], 5, padding=1)(x)
+        x = Conv1d(self.layers[0], 5, padding=1, dtype=self.dtype)(x)
         x = nn.relu(x)
         x = max_pool_1d(x, 2)
-        x = Conv1d(self.layers[1], 5, padding=1)(x)
+        x = Conv1d(self.layers[1], 5, padding=1, dtype=self.dtype)(x)
         x = nn.relu(x)
         x = max_pool_1d(x, 2)
         if self.dropout:
@@ -47,9 +48,11 @@ class PotesCNN(nn.Module):
     layers: Sequence[int] = (8, 4)
     dropout: float = 0.25
     train: bool = True
+    dtype: Any = None
 
     def _features(self, x):
-        branch = _PotesBranch(self.layers, self.dropout, self.train, name="cnn1")
+        branch = _PotesBranch(self.layers, self.dropout, self.train,
+                              dtype=self.dtype, name="cnn1")
         outs = []
         for c in range(x.shape[1]):
             band = jnp.transpose(x[:, c : c + 1, :], (0, 2, 1))  # (B, T, 1)

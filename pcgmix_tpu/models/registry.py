@@ -58,8 +58,9 @@ def build_model(
 
     ``dataset`` selects 2-D variants for spectrogram datasets and adjusts
     nothing else — classifier sizes are shape-inferred.  ``compute_dtype``
-    (e.g. jnp.bfloat16) switches the ResNet9 compute path off float32 — a
-    TPU throughput mode, off by default for reference parity.
+    (e.g. jnp.bfloat16) switches the ResNet9/Potes compute paths off float32
+    — a TPU throughput mode, off by default for reference parity (other
+    families are small enough that fp32 is not a bottleneck and ignore it).
     """
     if dataset in ("PhysioNet(spec128)", "UMC(spec128)", "UMC(spec64)"):
         if name == "resnet9":
@@ -71,7 +72,8 @@ def build_model(
             dtype=compute_dtype,
         )
     if name in POTES_PRESETS:
-        return PotesCNN(num_classes=num_classes, train=train, **POTES_PRESETS[name])
+        return PotesCNN(num_classes=num_classes, train=train, dtype=compute_dtype,
+                        **POTES_PRESETS[name])
     if name == "FCN":
         return FCN(num_classes=num_classes, train=train)
     if name == "FCN(custom)":
