@@ -38,8 +38,10 @@ def remove_segments_mean_envelope(
 
 
 def _clean_recording(rows: pd.DataFrame) -> pd.DataFrame:
-    rows = rows.replace([-np.inf, np.inf], np.nan)
-    rows = rows.fillna(rows.mean(numeric_only=True))
+    num_cols = [c for c in rows.columns if c not in NON_FEATURES]
+    rows = rows.copy()
+    cleaned = rows[num_cols].replace([-np.inf, np.inf], np.nan)
+    rows[num_cols] = cleaned.fillna(cleaned.mean())
     return rows.astype({"segment": int}).sort_values(by="segment")
 
 
