@@ -167,6 +167,14 @@ def parse_method(method: str, *, spectrogram: bool = False) -> MethodSpec:
     if base in ("swapsysdia", "cont-cutmix", "saliency-cutmix", "cutmix", "cutout"):
         spec.pairing = "mix_all"
     if base == "mixup":
+        if "(same)" not in method and "(mix)" not in method:
+            # both reference handlers only implement these two variants
+            # (augmentations.py:841-862, augmentations2d.py:551-572); a bare
+            # 'mixup' falls through their dispatchers and crashes — reject it
+            # explicitly here
+            raise ValueError(
+                "mixup requires a '(same)' or '(mix)' variant marker"
+            )
         spec.pairing = "same_label" if "(same)" in method else "mix_all"
         spec.mix_all_targets = "(mix)" in method
 

@@ -110,6 +110,13 @@ def test_modifiers():
     assert s.pairing == "same_dataset"
 
 
+def test_bare_mixup_rejected():
+    with pytest.raises(ValueError, match="mixup requires"):
+        parse_method("mixup")
+    with pytest.raises(ValueError, match="mixup requires"):
+        parse_method("mixup", spectrogram=True)
+
+
 def test_defaults():
     s = parse_method("durmixmagwarp")
     assert s.params == (0.2, 4)
