@@ -71,3 +71,24 @@ def test_artifacts_written(tmp_path, tiny_dataset):
     assert os.path.exists(os.path.join(d, "performance.pkl"))
     assert os.path.exists(os.path.join(d, "model.msgpack"))
     assert experiment_already_done(cfg)
+
+
+def test_validation_cv_training(tiny_dataset):
+    """valid=True trains against the 5-fold validation split
+    (train_model.py:231-249, dataloader_physionet.py:113-149)."""
+    perf = train_model(_cfg(num_epochs=2, valid=True, seed=2), tiny_dataset)
+    assert np.isfinite(perf["train_loss"]).all()
+    assert len(perf["test_accuracy"]) >= 1
+
+
+def test_umc_validation_cv_training():
+    from pcgmix_tpu.data.synthetic import synthetic_umc_dict
+
+    ds = synthetic_umc_dict(segments_per_patient=2, sig_len=512)
+    cfg = TrainConfig(
+        dataset="UMC", model="resnet9-5k", method="base", num_epochs=1,
+        batch_size=16, seed_data=1, seed=2, valid=True,
+        save_artifacts=False, loader_parity="numpy",
+    )
+    perf = train_model(cfg, ds)
+    assert np.isfinite(perf["train_loss"]).all()
