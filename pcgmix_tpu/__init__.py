@@ -27,3 +27,16 @@ Subsystems (see SURVEY.md §2 for the reference inventory they mirror):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # convenience top-level re-exports without import-time jax cost
+    if name in ("TrainConfig", "train_model"):
+        from pcgmix_tpu.train import TrainConfig, train_model
+
+        return {"TrainConfig": TrainConfig, "train_model": train_model}[name]
+    if name == "AugmentEngine":
+        from pcgmix_tpu.augment import AugmentEngine
+
+        return AugmentEngine
+    raise AttributeError(name)
