@@ -124,3 +124,16 @@ def test_umc_training():
     )
     perf = train_model(cfg, ds)
     assert np.isfinite(perf["train_loss"]).all()
+
+
+def test_same_cvd_pairing_with_map():
+    """(sameCVD) pairing via TrainConfig.cvd_map (the reference reads an
+    out-of-repo cvds_map.csv, augmentations.py:26-28, :516-526)."""
+    wavs = sorted(set(DS["train"]["wav"]))
+    cvd_map = {w: ["CAD", "MVP", "Benign"][i % 3] for i, w in enumerate(wavs)}
+    _run("(sameCVD)durratiomixup", cvd_map=cvd_map)
+
+
+def test_same_cvd_without_map_raises():
+    with pytest.raises(ValueError, match="cvd_map"):
+        _run("(sameCVD)durratiomixup")
