@@ -99,3 +99,29 @@ def test_closest_pairing_flows(baseline_run):
         cfg.save_artifacts = False
         perf = train_model(cfg, DS, latent_feature_fn=lambda d: lat.generate(d))
         assert np.isfinite(perf["train_loss"]).all(), method
+
+
+def test_salopt_variant_model_resolution(baseline_run):
+    """(saloptenv-1) resolves the saliency model from the durratiomixup run
+    (saliency.py:28-33): train that run first, then consume its checkpoint."""
+    base_cfg, root = baseline_run
+    mix_cfg = copy.deepcopy(base_cfg)
+    mix_cfg.method = "durratiomixup"
+    train_model(mix_cfg, DS)
+
+    cfg = copy.deepcopy(base_cfg)
+    cfg.method = "(saloptenv-1)durratiomixup"
+    cfg.save_artifacts = False
+
+    resolved = []
+
+    def ckpt_dir_for(method):
+        resolved.append(method)
+        c = copy.deepcopy(base_cfg)
+        c.method = method
+        return experiment_dir(c)
+
+    provider = make_pretrained_saliency_fn(cfg, ckpt_dir_for)
+    perf = train_model(cfg, DS, saliency_model_provider=provider)
+    assert np.isfinite(perf["train_loss"]).all()
+    assert resolved == ["durratiomixup"]  # the -1 variant, not 'base'
