@@ -9,6 +9,7 @@ Python slice loops (augmentations.py:289-366, :970-977).
 from pcgmix_tpu.ops.piecewise import (
     piecewise_mix,
     piecewise_mix_batch,
+    piecewise_mix_pairs,
     segment_blend_pieces,
 )
 from pcgmix_tpu.ops.spline import (
@@ -26,6 +27,7 @@ from pcgmix_tpu.ops.masks import (
 __all__ = [
     "piecewise_mix",
     "piecewise_mix_batch",
+    "piecewise_mix_pairs",
     "segment_blend_pieces",
     "cubic_spline_basis",
     "magnitude_warp",
