@@ -266,6 +266,16 @@ def train_model(
     from pcgmix_tpu.train.counters import VariabilityCounter
 
     variability = VariabilityCounter(len(train_ds)) if cfg.track_variability else None
+    # precompute the whole lr trajectory once (the schedule is a jnp
+    # computation; evaluating it per step would pay a device round trip each)
+    if cfg.use_sched:
+        from pcgmix_tpu.train.schedule import onecycle_lr
+
+        lr_table = np.asarray(
+            jax.vmap(onecycle_lr(num_steps, cfg.lr_max))(jnp.arange(num_steps))
+        )
+    else:
+        lr_table = np.full(num_steps, cfg.lr_max, np.float32)
     perf = PerformanceTracker()
     epoch_plot = np.array(sorted(set(np.linspace(1, cfg.num_epochs, 11).astype(int))))
     base_key = jax.random.PRNGKey(cfg.seed_fix)
@@ -306,9 +316,15 @@ def train_model(
 
             def flush_chunk():
                 nonlocal state
+                # stack each plan field on HOST and upload once per field —
+                # stacking device-side would pay one transfer per small array
                 stacked = (
                     jax.tree_util.tree_map(
-                        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                        lambda *xs: (
+                            jnp.stack(xs)
+                            if isinstance(xs[0], jax.Array)
+                            else np.stack([np.asarray(x) for x in xs])
+                        ),
                         *buf_plans,
                     )
                     if engine.enabled
@@ -342,14 +358,7 @@ def train_model(
                         plan.cut if plan is not None else None,
                         step_count,
                     )
-                if cfg.use_sched:
-                    from pcgmix_tpu.train.schedule import onecycle_lr
-
-                    lr_per_step.append(
-                        float(onecycle_lr(num_steps, cfg.lr_max)(step_count))
-                    )
-                else:
-                    lr_per_step.append(cfg.lr_max)
+                lr_per_step.append(float(lr_table[step_count]))
                 step_count += 1
                 if len(buf_idx) == scan_k:
                     flush_chunk()
@@ -515,33 +524,36 @@ def train_model(
                         step_count,
                         run_dir or cfg.experiments_root,
                     )
-            if cfg.use_sched:
-                from pcgmix_tpu.train.schedule import onecycle_lr
-
-                lr_per_step.append(float(onecycle_lr(num_steps, cfg.lr_max)(step_count)))
-            else:
-                lr_per_step.append(cfg.lr_max)
+            lr_per_step.append(float(lr_table[step_count]))
             step_count += 1
             if step_count >= num_steps:
                 done = True
                 break
 
-        jax.block_until_ready(epoch_losses[-1])
+        # Sync only at plot epochs (each sync pays a full round trip on
+        # remote devices).  The cumulative `times` consumed at plot epochs
+        # stays exact: the block there absorbs any queued work from the
+        # un-synced epochs before it.
+        if epoch in epoch_plot and epoch_losses:
+            jax.block_until_ready(epoch_losses[-1])
         times.append(time.time() - t0)
         if cfg.profile_dir and epoch == min(2, cfg.num_epochs):
             jax.profiler.stop_trace()
         if epoch in epoch_plot:
             perf.add("epochs", epoch)
             perf.add("steps", step_count)
-            losses_np = np.concatenate(
-                [np.atleast_1d(np.asarray(l)) for l in epoch_losses]
+            # ONE device→host transfer for the whole epoch's metrics —
+            # per-array pulls each pay a full round trip on remote devices
+            losses_h, preds_h, targets_h = jax.device_get(
+                (epoch_losses, epoch_preds, epoch_targets)
             )
+            losses_np = np.concatenate([np.atleast_1d(l) for l in losses_h])
             perf.add("train_loss", float(losses_np.mean()))
             perf.add(
                 "train_accuracy",
                 segment_accuracy(
-                    np.concatenate([np.asarray(p).ravel() for p in epoch_preds]),
-                    np.concatenate([np.asarray(t).ravel() for t in epoch_targets]),
+                    np.concatenate([np.ravel(p) for p in preds_h]),
+                    np.concatenate([np.ravel(t) for t in targets_h]),
                 ),
             )
             evaluate(cfg, eval_step, state, test_ds, perf, engine.spec.class_majority)
