@@ -609,13 +609,16 @@ def evaluate(cfg, eval_step, state, test_ds, perf, class_majority=False):
             for b in eval_batches(test_ds, cfg.eval_batch_size)
         ]
         test_ds._staged_eval = staged
+    device_out = [
+        eval_step(state.params, state.batch_stats, data_dev, target_dev)
+        for data_dev, target_dev, _ in staged
+    ]
+    device_out = jax.device_get(device_out)  # one transfer for all batches
     probs_all, loss_sum, labels, wavs, n = [], 0.0, [], [], 0
-    for data_dev, target_dev, batch in staged:
-        probs, losses = eval_step(state.params, state.batch_stats, data_dev,
-                                  target_dev)
+    for (probs, losses), (_, _, batch) in zip(device_out, staged):
         mask = batch["mask"]
-        probs_all.append(np.asarray(probs)[mask])
-        loss_sum += float(np.asarray(losses)[mask].sum())
+        probs_all.append(probs[mask])
+        loss_sum += float(losses[mask].sum())
         labels.append(batch["label"][mask])
         wavs.append(batch["wav"][mask])
         n += int(mask.sum())
