@@ -184,11 +184,12 @@ class AugmentEngine:
         latent_fn: Optional[Callable] = None,
         saliency_fn: Optional[Callable] = None,
         saliency_bins_fn: Optional[Callable] = None,
+        _force: bool = False,
     ) -> Optional[Plan]:
         spec, cfg = self.spec, self.cfg
         if not spec.enabled:
             return None
-        if spec.prob < 1.0 and prng.py_uniform(step) >= spec.prob:
+        if not _force and spec.prob < 1.0 and prng.py_uniform(step) >= spec.prob:
             return None
         base = spec.base
         frames = np.asarray(frames, np.int64)
@@ -697,13 +698,29 @@ class AugmentEngine:
         plan = self.plan(step, frames, labels, wavs, **kw)
         if plan is not None:
             return plan.arrays, plan
-        prob = self.spec.prob
-        try:
-            self.spec.prob = 1.0  # force a structure template
-            forced = self.plan(step, frames, labels, wavs, **kw)
-        finally:
-            self.spec.prob = prob
-        return self._identity_arrays(forced.arrays, len(labels)), None
+        return self.identity_arrays(step, frames, labels, wavs, **kw), None
+
+    def identity_arrays(self, step, frames, labels, wavs=None, **kw):
+        """A no-op plan with the method's array structure, cached per batch
+        size.  The identity rewrite depends only on shapes, so one forced
+        template build per batch size suffices; the build runs under a
+        snapshot of the mirror NumPy stream / noise key so a gated-off step
+        consumes no RNG (matching the reference, which skips the handler
+        entirely).  Treat the returned dict as read-only."""
+        cache = getattr(self, "_identity_cache", None)
+        if cache is None:
+            cache = self._identity_cache = {}
+        B = len(labels)
+        if B not in cache:
+            np_state = self.np_stream.get_state()
+            noise_key = self._noise_key
+            try:
+                forced = self.plan(step, frames, labels, wavs, _force=True, **kw)
+            finally:
+                self.np_stream.set_state(np_state)
+                self._noise_key = noise_key
+            cache[B] = self._identity_arrays(forced.arrays, B)
+        return cache[B]
 
     def _identity_arrays(self, arrays: dict, batch: int) -> dict:
         """Rewrite a plan's arrays so apply() is the identity."""
@@ -740,6 +757,8 @@ class AugmentEngine:
                 out[k] = np.zeros_like(out[k])
         if "snr" in out:
             out["snr"] = np.full_like(out["snr"], 300.0)  # noise std → ~0
+        if "end" in out:
+            out["end"] = np.full_like(out["end"], T)  # zero_after past the end
         for k in ("ch_c1", "ch_c2", "ch_last"):
             if k in out:
                 out[k] = np.full_like(out[k], T)

@@ -86,6 +86,10 @@ class TrainConfig:
                                  # steps ride as identity plans)
     eval_batch_size: int = 1000
     cvd_map: Optional[dict] = None
+    n_devices: Optional[int] = None  # data-parallel devices; None = all
+                                     # visible (the reference wraps every run
+                                     # in nn.DataParallel, train_model.py:385)
+                                     # 1 = single-device, no mesh
 
     @property
     def spectrogram(self) -> bool:
@@ -187,6 +191,42 @@ def train_model(
     )
     state = init_state(cfg, model, train_ds, tx)
 
+    # Data parallelism lives INSIDE the loop (the reference wraps the model
+    # in nn.DataParallel unconditionally, train_model.py:385): replicate the
+    # train state over a 1-axis device mesh and shard every batch-shaped
+    # upload on the leading axis; GSPMD inserts the gradient all-reduce and
+    # cross-shard mixing gathers.
+    n_dev = cfg.n_devices if cfg.n_devices is not None else jax.local_device_count()
+    mesh = None
+    if n_dev > 1:
+        from pcgmix_tpu.parallel import make_mesh, replicate, shard_batch
+
+        mesh = make_mesh(n_dev)
+        state = replicate(state, mesh)
+
+        def put_batch(tree):
+            return shard_batch(tree, mesh)
+
+        def put_scan(tree):
+            # scan stacks are (K, B, ...): shard axis 1 (batch), replicate
+            # scalars/per-step leaves
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            def put(x):
+                x = np.asarray(x) if not isinstance(x, jax.Array) else x
+                if getattr(x, "ndim", 0) >= 2 and x.shape[1] % n_dev == 0:
+                    return jax.device_put(
+                        x, NamedSharding(mesh, P(None, "data"))
+                    )
+                return jax.device_put(x, NamedSharding(mesh, P()))
+
+            return jax.tree_util.tree_map(put, tree)
+    else:
+        def put_batch(tree):
+            return jax.tree_util.tree_map(jnp.asarray, tree)
+
+        put_scan = put_batch
+
     engine = AugmentEngine(
         AugmentConfig(
             method=cfg.method,
@@ -222,6 +262,12 @@ def train_model(
             "train_data": jnp.asarray(train_ds.data),
             "train_labels": jnp.asarray(train_ds.label),
         }
+        if mesh is not None:
+            # the corpus is tens of MB against 16 GB HBM: replicate it so
+            # batch gathers by global index stay shard-local
+            from pcgmix_tpu.parallel import replicate as _replicate
+
+            resident = _replicate(resident, mesh)
     step_plain = make_train_step(
         model, tx, selc_es=selc_es, model_channels=model_channels, **resident
     )
@@ -277,6 +323,7 @@ def train_model(
     else:
         lr_table = np.full(num_steps, cfg.lr_max, np.float32)
     perf = PerformanceTracker()
+    eval_staged = None  # lazily staged eval tensors, owned by this run
     epoch_plot = np.array(sorted(set(np.linspace(1, cfg.num_epochs, 11).astype(int))))
     base_key = jax.random.PRNGKey(cfg.seed_fix)
     step_count = 0
@@ -331,7 +378,7 @@ def train_model(
                     else {}
                 )
                 state, outs = multi_step(
-                    state, jnp.asarray(np.stack(buf_idx)), stacked,
+                    state, put_scan(np.stack(buf_idx)), put_scan(stacked),
                     jnp.asarray(buf_sids), epoch, base_key,
                 )
                 epoch_losses.append(outs["loss"])
@@ -370,8 +417,8 @@ def train_model(
             single = step_aug if engine.enabled else step_plain
             for idx, arrays, sid in zip(list(buf_idx), list(buf_plans), buf_sids):
                 state, out = single(
-                    state, {"indices": jnp.asarray(idx)},
-                    arrays if engine.enabled else None, epoch,
+                    state, put_batch({"indices": idx}),
+                    put_batch(arrays) if engine.enabled else None, epoch,
                     jax.random.fold_in(base_key, sid),
                 )
                 epoch_losses.append(out["loss"])
@@ -380,16 +427,16 @@ def train_model(
             buf_idx.clear()
         for batch in (it if not scan_mode else ()):
             if use_resident:
-                dev_batch = {"indices": jnp.asarray(batch["indices"])}
+                dev_batch = put_batch({"indices": batch["indices"]})
             else:
                 target_ohe = np.eye(cfg.num_classes, dtype=np.float32)[
                     batch["label"]
                 ]
-                dev_batch = {
-                    "data": jnp.asarray(batch["data"]),
-                    "target_ohe": jnp.asarray(target_ohe),
-                    "indices": jnp.asarray(batch["indices"]),
-                }
+                dev_batch = put_batch({
+                    "data": batch["data"],
+                    "target_ohe": target_ohe,
+                    "indices": batch["indices"],
+                })
             rng = jax.random.fold_in(base_key, step_count)
 
             plan = None
@@ -425,6 +472,9 @@ def train_model(
                     ),
                 )
 
+            plan_dev = put_batch(plan.arrays) if (
+                plan is not None and mesh is not None
+            ) else (plan.arrays if plan is not None else None)
             if plan is None:
                 state, out = step_plain(state, dev_batch, None, epoch, rng)
             elif engine.spec.base == "lc-nointrusion":
@@ -442,6 +492,8 @@ def train_model(
                     "target_ohe": jnp.take(cand_t, jnp.asarray(sel), axis=0),
                     "indices": jnp.asarray(plan.arrays["idx1"][sel]),
                 }
+                if mesh is not None:
+                    sel_batch = put_batch(sel_batch)
                 state, out = step_plain(state, sel_batch, None, epoch, rng)
             elif plan.latent_depth is not None:
                 d = plan.latent_depth
@@ -456,9 +508,9 @@ def train_model(
                         model_eval=model_eval,
                         **resident,
                     )
-                state, out = latent_steps[d](state, dev_batch, plan.arrays, epoch, rng)
+                state, out = latent_steps[d](state, dev_batch, plan_dev, epoch, rng)
             else:
-                state, out = step_aug(state, dev_batch, plan.arrays, epoch, rng)
+                state, out = step_aug(state, dev_batch, plan_dev, epoch, rng)
 
             # keep metrics as device arrays; pull once per epoch so the host
             # never blocks on the step (async dispatch pipelines plan
@@ -556,7 +608,13 @@ def train_model(
                     np.concatenate([np.ravel(t) for t in targets_h]),
                 ),
             )
-            evaluate(cfg, eval_step, state, test_ds, perf, engine.spec.class_majority)
+            if eval_staged is None:
+                eval_staged = stage_eval(
+                    test_ds, cfg.eval_batch_size, cfg.num_classes,
+                    device_put=put_batch if mesh is not None else None,
+                )
+            evaluate(cfg, eval_step, state, test_ds, perf,
+                     engine.spec.class_majority, staged=eval_staged)
             perf.add("times", float(np.sum(times)))
             if progress:
                 print(
@@ -595,20 +653,30 @@ def train_model(
     return perf.dict
 
 
-def evaluate(cfg, eval_step, state, test_ds, perf, class_majority=False):
+def stage_eval(test_ds, eval_batch_size, num_classes, device_put=None):
+    """Upload the eval split once: list of (data_dev, target_dev, host_batch).
+
+    Owned by the caller (train_model keeps it for the run's lifetime) so
+    the HBM buffers are released with the run and a reused split object
+    with a different eval_batch_size/num_classes can't see stale buffers.
+    """
+    put = device_put or jnp.asarray
+    return [
+        (put(b["data"]),
+         put(np.eye(num_classes, dtype=np.float32)[b["label"]]),
+         b)
+        for b in eval_batches(test_ds, eval_batch_size)
+    ]
+
+
+def evaluate(cfg, eval_step, state, test_ds, perf, class_majority=False,
+             staged=None):
     """Recording-level test pass (test_data_accuracy, train_model.py:591-670).
 
-    The test tensors are staged on device once per split (cached on the
-    dataset object) — the reference re-uploads them every plot epoch."""
-    staged = getattr(test_ds, "_staged_eval", None)
+    ``staged`` — pre-uploaded eval tensors from :func:`stage_eval`; the
+    reference re-uploads the split every plot epoch."""
     if staged is None:
-        staged = [
-            (jnp.asarray(b["data"]),
-             jnp.asarray(np.eye(cfg.num_classes, dtype=np.float32)[b["label"]]),
-             b)
-            for b in eval_batches(test_ds, cfg.eval_batch_size)
-        ]
-        test_ds._staged_eval = staged
+        staged = stage_eval(test_ds, cfg.eval_batch_size, cfg.num_classes)
     device_out = [
         eval_step(state.params, state.batch_stats, data_dev, target_dev)
         for data_dev, target_dev, _ in staged

