@@ -67,6 +67,27 @@ class Plan:
     aux: dict = dataclasses.field(default_factory=dict)
 
 
+def frames_end(frames: np.ndarray) -> np.ndarray:
+    """Last valid segment boundary per row.  Equals frames[:, -1] for the
+    zero-pad variant; for the full multi-cycle variant (frames padded to 28
+    with −1, databuilder.ipynb cell 23) it is the last non-padding entry
+    (boundaries are monotone, padding is −1, so the row max)."""
+    return np.asarray(frames).max(axis=-1)
+
+
+def _sanitize_padded_pieces(pieces: dict) -> None:
+    """Full-variant hygiene: −1-padded frames produce negative/garbage piece
+    geometry in the padding slots; force them to empty pieces at offset 0 so
+    every backend (XLA masks AND the Pallas lane-rotation kernel) sees
+    well-formed inputs."""
+    length = np.asarray(pieces["length"])
+    bad = length <= 0
+    length = np.where(bad, 0, length)
+    pieces["length"] = length
+    pieces["dst_start"] = np.where(bad, 0, np.asarray(pieces["dst_start"]))
+    pieces["src_start"] = np.where(bad, 0, np.asarray(pieces["src_start"]))
+
+
 def _blend(data, mix_idx, lam):
     """Whole-signal mixup: data·λ + data[mix]·(1−λ) (augmentations.py:849)."""
     mixed = jnp.take(data, jnp.asarray(mix_idx, jnp.int32), axis=0)
@@ -195,6 +216,18 @@ class AugmentEngine:
         frames = np.asarray(frames, np.int64)
         labels = np.asarray(labels)
         B = len(labels)
+        if frames.shape[1] != 5 and base in (
+            "labelcutmix", "lengthcutmix", "datasetcutmix", "wavcutmix",
+            "cutmix", "lc-nointrusion", "saliency-cutmix", "swapsysdia",
+        ):
+            # concat-style methods rewrite the frames vector; with −1-padded
+            # multi-cycle frames (full variant) that contract is undefined in
+            # the reference too — use the zero-pad variant for these
+            raise NotImplementedError(
+                f"{base!r} supports single-cycle (5-entry) frames only; "
+                "the full multi-cycle variant supports the keep-duration "
+                "families, masks, warps, and whole-signal mixes"
+            )
 
         def pair():
             mix, dist = pairing_mod.build_pairing(
@@ -232,9 +265,10 @@ class AugmentEngine:
             )
         if base == "timemask" and not cfg.spectrogram:
             f1, f2 = prng.py_masked_region(step, spec.params[0])
+            end = frames_end(frames)
             bb = np.stack(
-                [(f1 * frames[:, -1]).astype(np.int64),
-                 (f2 * frames[:, -1]).astype(np.int64)], axis=1
+                [(f1 * end).astype(np.int64),
+                 (f2 * end).astype(np.int64)], axis=1
             )
             return Plan(arrays={"bb": bb})
         if base == "respiratoryscale":
@@ -252,7 +286,7 @@ class AugmentEngine:
             snr = self.np_stream.uniform(smin, smax, size=(B,)).astype(np.float32)
             self._noise_key, sub = jax.random.split(self._noise_key)
             return Plan(arrays={"snr": snr, "key": jax.random.fold_in(sub, step),
-                                "end": frames[:, -1]})
+                                "end": frames_end(frames)})
         if base in ("labelcutmix", "lengthcutmix", "datasetcutmix", "wavcutmix",
                     "cutmix"):
             if base == "cutmix" and spec.per_channel:
@@ -297,14 +331,22 @@ class AugmentEngine:
             )
         else:
             lam = prng.np_beta_lambda(alpha, step)
-        disp = np.zeros((len(labels), 4), np.int64)
+        nseg = frames.shape[1] - 1  # 4 (zero-pad variant) or 27 (full, −1 pad)
+        disp = np.zeros((len(labels), nseg), np.int64)
         if spec.salopt is not None:
+            if nseg != 4:
+                raise NotImplementedError(
+                    "(salopt…) displacement assumes single-cycle frames; "
+                    "use the zero-pad dataset variant"
+                )
             sal = saliency_fn(mix_model=spec.salopt_model)
             disp = salopt_displacements(sal, frames, mix, lam, spec.salopt)
         elif spec.rand and not cfg.spectrogram:
-            disp = self._rand_displacements(step, frames, mix, segs=(0, 1, 2, 3))
-        lam_seg = np.full((len(labels), 4), lam, np.float32)
+            disp = self._rand_displacements(step, frames, mix, segs=range(nseg))
+        lam_seg = np.full((len(labels), nseg), lam, np.float32)
         pieces = segment_blend_pieces(frames, frames[mix], disp, lam_seg)
+        if nseg > 4:
+            _sanitize_padded_pieces(pieces)
         arrays = {
             "mix": mix,
             "dst": pieces["dst_start"],
@@ -328,15 +370,22 @@ class AugmentEngine:
         spec = self.spec
         mix, dist = pair()
         B = frames.shape[0]
-        disp = np.zeros((B, 4), np.int64)
+        nseg = frames.shape[1] - 1
+        # swap systole/diastole = segment indices ≡ 1, 3 (mod 4) — per cycle
+        # in the full multi-cycle variant
+        swap_segs = tuple(k for k in range(nseg) if k % 4 in (1, 3))
+        disp = np.zeros((B, nseg), np.int64)
         if spec.rand and not self.cfg.spectrogram:
-            disp = self._rand_displacements(step, frames, mix, segs=(1, 3))
+            disp = self._rand_displacements(step, frames, mix, segs=swap_segs)
         pieces = segment_blend_pieces(
-            frames, frames[mix], disp, np.zeros((B, 4), np.float32)
+            frames, frames[mix], disp, np.zeros((B, nseg), np.float32)
         )
+        if nseg > 4:
+            _sanitize_padded_pieces(pieces)
         length = np.asarray(pieces["length"]).copy()
-        length[:, 0] = 0  # S1/S2 untouched (augmentations.py:340-366)
-        length[:, 2] = 0
+        for k in range(nseg):  # S1/S2 untouched (augmentations.py:340-366)
+            if k % 4 in (0, 2):
+                length[:, k] = 0
         arrays = {
             "mix": mix,
             "dst": pieces["dst_start"],
@@ -349,28 +398,38 @@ class AugmentEngine:
 
     def _rand_displacements(self, step, frames, mix, segs):
         """(rand) displacement draws: randint(0, |gap|) from a fresh
-        Random(step) per segment (augmentations.py:305-338, :349-365)."""
+        Random(step) per segment (augmentations.py:305-338, :349-365).
+        Segments invalidated by −1 padding (full multi-cycle variant) draw
+        nothing — their pieces are disabled anyway."""
         B = frames.shape[0]
-        disp = np.zeros((B, 4), np.int64)
+        nseg = frames.shape[1] - 1
+        disp = np.zeros((B, nseg), np.int64)
         len1 = frames[:, 1:] - frames[:, :-1]
         len2 = frames[mix][:, 1:] - frames[mix][:, :-1]
         gap = np.abs(len2 - len1)
+        valid = (len1 > 0) & (len2 > 0) & (frames[:, :-1] >= 0)
         for i in range(B):
             for k in segs:
-                disp[i, k] = prng.py_randint(step, 0, int(gap[i, k]))
+                if valid[i, k]:
+                    disp[i, k] = prng.py_randint(step, 0, int(gap[i, k]))
         return disp
 
     # ---------------- concat family ---------------- #
 
     def _cut_choice(self, step):
-        """Cut-point seed differs per handler: labelcutmix/cutmix/
-        lc-nointrusion use Random(step·131071) (augmentations.py:1304,:1549,
-        :1248); length/dataset/wav-cutmix use Random(step)
-        (augmentations.py:1139,:1170,:1201)."""
+        """Cut-point seed differs per handler: labelcutmix/lc-nointrusion/
+        2-D cutmix use Random(step·131071) when '(rand)'
+        (augmentations.py:1304,:1248, augmentations2d.py:588-590);
+        length/dataset/wav-cutmix use Random(step) when '(rand)'
+        (augmentations.py:1139,:1170,:1201); the 1-D plain cutmix handler
+        ALWAYS draws Random(step·131071).randint(1,3) — no '(rand)' gate
+        (augmentations.py:1549)."""
         spec = self.spec
+        if spec.base == "cutmix" and not self.cfg.spectrogram:
+            return prng.py_randint(step * 131071, 1, 3)
         if not spec.rand:
             return 2
-        if spec.base in ("labelcutmix", "cutmix", "lc-nointrusion") or (
+        if spec.base in ("labelcutmix", "lc-nointrusion") or (
             self.cfg.spectrogram and spec.base == "cutmix"
         ):
             return prng.py_randint(step * 131071, 1, 3)
@@ -553,8 +612,8 @@ class AugmentEngine:
         B = frames.shape[0]
         mix = pairing_mod.mix_all(B, step)
         lo, hi = prng.py_sorted_uniform_pair(step)
-        d1_len = frames[:, -1]
-        d2_len = frames[mix][:, -1]
+        d1_len = frames_end(frames)
+        d2_len = frames_end(frames[mix])
         bb1 = np.stack([(lo * d1_len).astype(np.int64), (hi * d1_len).astype(np.int64)], 1)
         bb2 = np.stack([(lo * d2_len).astype(np.int64), (hi * d2_len).astype(np.int64)], 1)
         seg2 = bb2[:, 1] - bb2[:, 0]
@@ -629,13 +688,14 @@ class AugmentEngine:
                 draws = sorted(
                     prng.py_uniform(step + i * 131071 + c * 524287) for i in range(2)
                 )
-                bb[:, c, 0] = (draws[0] * frames[:, -1]).astype(np.int64)
-                bb[:, c, 1] = (draws[1] * frames[:, -1]).astype(np.int64)
+                end = frames_end(frames)
+                bb[:, c, 0] = (draws[0] * end).astype(np.int64)
+                bb[:, c, 1] = (draws[1] * end).astype(np.int64)
             return Plan(arrays={"bb": bb}, latent_depth=depth)
         lo, hi = prng.py_masked_region(step, spec.params[0])
         bb = np.stack(
-            [(lo * frames[:, -1]).astype(np.int64),
-             (hi * frames[:, -1]).astype(np.int64)], axis=1
+            [(lo * frames_end(frames)).astype(np.int64),
+             (hi * frames_end(frames)).astype(np.int64)], axis=1
         )
         return Plan(arrays={"bb": bb}, latent_depth=depth)
 
@@ -653,8 +713,8 @@ class AugmentEngine:
             t1 = u_pos * (1 - gap)
             t2 = t1 + gap
             arrays["bb"] = np.stack(
-                [(t1 * frames[:, -1]).astype(np.int64),
-                 (t2 * frames[:, -1]).astype(np.int64)], axis=1
+                [(t1 * frames_end(frames)).astype(np.int64),
+                 (t2 * frames_end(frames)).astype(np.int64)], axis=1
             )
         if base in ("freqmask", "durmixfreqmask", "cutout", "durmixcutout"):
             fmax = spec.params[1] if base in ("cutout", "durmixcutout") else spec.params[0]

@@ -13,7 +13,10 @@ from pcgmix_tpu.data.datasets import ArrayDataset, bands_to_channels
 from pcgmix_tpu.data.loader import EpochIterator, eval_batches
 from pcgmix_tpu.data.physionet import physionet_split
 from pcgmix_tpu.data.umc import umc_split
-from pcgmix_tpu.data.synthetic import synthetic_physionet_dict
+from pcgmix_tpu.data.synthetic import (
+    synthetic_physionet_dict,
+    synthetic_physionet_full_dict,
+)
 
 __all__ = [
     "ArrayDataset",
@@ -23,4 +26,5 @@ __all__ = [
     "physionet_split",
     "umc_split",
     "synthetic_physionet_dict",
+    "synthetic_physionet_full_dict",
 ]

@@ -133,6 +133,108 @@ def slice_cycles(
     return np.stack(sigs), np.stack(frames)
 
 
+def scan_full_windows(
+    frames: np.ndarray,
+    states: Sequence[str],
+    n_samples: int,
+    sig_len: int = 2500,
+    max_frames: int = 28,
+) -> list[tuple[int, np.ndarray]]:
+    """The "full" multi-cycle window scan (databuilder.ipynb cell 23).
+
+    For every S1 start (skipping a clipped first state) with at least one
+    more S1 after it and sig_len samples of recording left: collect every
+    boundary whose offset from the window start is <= sig_len, skip windows
+    whose covered states contain a noise marker, shift boundaries to 0 and
+    pad to max_frames with −1.
+
+    Returns [(window_start_sample, padded_frames (max_frames,)), ...].
+    """
+    out = []
+    states = list(states)
+    for i, (frame, state) in enumerate(zip(frames, states)):
+        if i == 0 and state == "S1":
+            continue  # first state is always clipped (cell 23)
+        if state != "S1" or "S1" not in states[i + 1:]:
+            continue
+        if n_samples - frame < sig_len:
+            continue
+        last_i = i
+        for j in range(i, len(frames)):
+            if frames[j] - frames[i] <= sig_len:
+                last_i = j
+            else:
+                break
+        if "N" in "".join(states[i : last_i + 1]):
+            continue
+        seg_frames = np.asarray(frames[i : last_i + 1], np.int64) - frames[i]
+        seg_frames = seg_frames[:max_frames]
+        seg_frames = np.pad(
+            seg_frames, (0, max_frames - len(seg_frames)), constant_values=-1
+        )
+        out.append((int(frames[i]), seg_frames))
+    return out
+
+
+def build_full_dataset(
+    recordings: dict,
+    *,
+    sr_in: int = 2000,
+    sr_out: int = 1000,
+    sig_len: int = 2500,
+    max_frames: int = 28,
+    bands: Sequence[str] = ("25-45", "45-80", "80-200", "200-400", "25-400"),
+    normalize_stats: dict | None = None,
+) -> dict:
+    """Assemble the PhysioNet "full" multi-cycle dataset dict
+    (databuilder.ipynb cell 23): sig_len windows of raw (filtered,
+    normalized) recording starting at S1 onsets — no zero tail — with
+    frames padded to max_frames using −1."""
+    rate = sr_in // sr_out
+    data = {b: [] for b in bands}
+    labels, frames_out, wavs, sq = [], [], [], []
+    for name, rec in recordings.items():
+        ann_frames = np.asarray(rec["frames"]) // rate
+        per_band = {}
+        for b in bands:
+            y = preprocess_wav(np.asarray(rec["y"]), sr_in, sr_out, BANDS[b])
+            if normalize_stats and b in normalize_stats:
+                mu, sd = normalize_stats[b]
+                y = (y - mu) / sd
+            per_band[b] = y
+        n = len(per_band[bands[0]])
+        windows = scan_full_windows(
+            ann_frames, rec["states"], n, sig_len, max_frames
+        )
+        if not windows:
+            continue
+        for b in bands:
+            y = per_band[b]
+            data[b].append(
+                np.stack([y[s : s + sig_len] for s, _ in windows]).astype(
+                    np.float32
+                )
+            )
+        labels += [int(rec["label"])] * len(windows)
+        frames_out += [f for _, f in windows]
+        wavs += [name] * len(windows)
+        sq += [int(rec.get("sig_qual", 1))] * len(windows)
+    return {
+        "data": {
+            b: np.concatenate(v) if v else np.zeros((0, sig_len), np.float32)
+            for b, v in data.items()
+        },
+        "label": np.asarray(labels, np.int64),
+        "frames": (
+            np.stack(frames_out)
+            if frames_out
+            else np.zeros((0, max_frames), np.int64)
+        ),
+        "wav": np.asarray(wavs, object),
+        "sig_qual": np.asarray(sq, np.int64),
+    }
+
+
 def build_1d_dataset(
     recordings: dict,
     *,
@@ -252,7 +354,9 @@ def main(argv=None):
     p.add_argument("--ann-dir", required=True, help="StateAns .mat / state .txt dir")
     p.add_argument("--labels-csv", required=True, help="csv: wav,label,sig_qual")
     p.add_argument("--out", required=True, help="output .dat (zlib pickle)")
-    p.add_argument("--kind", choices=["1d", "spec128", "spec64"], default="1d")
+    p.add_argument(
+        "--kind", choices=["1d", "full", "spec128", "spec64"], default="1d"
+    )
     p.add_argument("--sr-in", type=int, default=2000)
     args = p.parse_args(argv)
 
@@ -279,6 +383,8 @@ def main(argv=None):
             }
     if args.kind == "1d":
         out = build_1d_dataset(recs, sr_in=args.sr_in)
+    elif args.kind == "full":
+        out = build_full_dataset(recs, sr_in=args.sr_in)
     else:
         size = 128 if args.kind == "spec128" else 64
         out = build_spectrogram_dataset(recs, sr_in=args.sr_in, size=size)

@@ -42,7 +42,8 @@ class ArrayDataset:
 
     data: np.ndarray  # (N, C, T) float32 or (N, 1, F, T) for spectrograms
     label: np.ndarray  # (N,) int64
-    frames: np.ndarray  # (N, 5) int64
+    frames: np.ndarray  # (N, 5) int64, or (N, 28) padded with −1 for the
+                        # "full" multi-cycle variant (databuilder.ipynb cell 23)
     wav: np.ndarray  # (N,) object (recording names)
     sig_qual: np.ndarray  # (N,) int64
     ids: Optional[np.ndarray] = None  # UMC patient ids

@@ -79,6 +79,86 @@ def synthetic_physionet_dict(
     }
 
 
+def synthetic_physionet_full_dict(
+    num_wavs_train: int = 16,
+    num_wavs_test: int = 6,
+    windows_per_wav: int = 2,
+    sig_len: int = 2500,
+    max_frames: int = 28,
+    seed: int = 0,
+) -> dict:
+    """The PhysioNet "full" multi-cycle variant (databuilder.ipynb cell 23):
+    each row is a full sig_len window starting at an S1 (NO zero tail — the
+    window is a raw recording slice), and ``frames`` lists every segment
+    boundary whose offset fits in the window, padded to ``max_frames`` with
+    −1.  Cycle states run S1→systole→S2→diastole, so segment k has state
+    k mod 4."""
+    rng = np.random.default_rng(seed)
+    bands = list(MODEL_BANDS) + [WIDE_BAND]
+
+    def make_split(num_wavs, prefix):
+        data = {b: [] for b in bands}
+        labels, frames, wavs, sq = [], [], [], []
+        for w in range(num_wavs):
+            label = int(w % 2)
+            name = f"{'abcdef'[(w // 2) % 6]}{prefix}{w:04d}"
+            for _ in range(windows_per_wav):
+                scale = sig_len / 2500.0
+                lo = np.maximum((np.array([80, 150, 60, 300]) * scale), 4).astype(int)
+                hi = np.maximum((np.array([140, 350, 120, 700]) * scale), 8).astype(int)
+                # draw cycles until the window is over-full, keep boundaries
+                # with offset <= sig_len (cell 23's last_i scan)
+                bounds = [0]
+                while bounds[-1] <= sig_len and len(bounds) < max_frames + 8:
+                    bounds.extend(
+                        bounds[-1] + np.cumsum(rng.integers(lo, hi))
+                    )
+                f_valid = np.array(
+                    [b for b in bounds if b <= sig_len][:max_frames], np.int64
+                )
+                assert len(f_valid) >= 5, "window must hold one full cycle"
+                f = np.pad(
+                    f_valid, (0, max_frames - len(f_valid)),
+                    constant_values=-1,
+                )
+                for b_i, b in enumerate(bands):
+                    freq = 30.0 + 40.0 * b_i
+                    sig = 0.1 * rng.standard_normal(sig_len).astype(np.float32)
+                    for k in range(len(f_valid) - 1):
+                        s, e = f_valid[k], f_valid[k + 1]
+                        seg = np.arange(e - s)
+                        if k % 4 == 0:   # S1
+                            sig[s:e] += 2.0 * np.sin(2 * np.pi * freq * seg / 1000.0)
+                        elif k % 4 == 2:  # S2
+                            sig[s:e] += 1.5 * np.sin(2 * np.pi * freq * 1.3 * seg / 1000.0)
+                        elif k % 4 == 1 and label == 1:  # systolic murmur
+                            sig[s:e] += 0.8 * rng.standard_normal(e - s)
+                    data[b].append(sig)
+                labels.append(label)
+                frames.append(f)
+                wavs.append(name)
+                sq.append(1)
+        return {
+            "data": {
+                b: (np.stack(v) if v else np.zeros((0, sig_len), np.float32))
+                for b, v in data.items()
+            },
+            "label": np.array(labels, np.int64),
+            "frames": (
+                np.stack(frames)
+                if frames
+                else np.zeros((0, max_frames), np.int64)
+            ),
+            "wav": np.array(wavs, object),
+            "sig_qual": np.array(sq, np.int64),
+        }
+
+    return {
+        "train": make_split(num_wavs_train, "tr"),
+        "test": make_split(num_wavs_test, "te"),
+    }
+
+
 def synthetic_umc_dict(
     segments_per_patient: int = 4, sig_len: int = 2000, seed: int = 0
 ) -> dict:

@@ -86,10 +86,10 @@ def _apply_time_warp(x: jax.Array, basis: jax.Array, scaled_steps: jax.Array):
 
     def interp_1d(p, sig):
         y = jnp.interp(queries, p, sig)
-        # np.interp boundary semantics: queries at/below p[0] (resp. at/above
-        # p[-1]) return the first (resp. last) sample even when clipping
-        # produced duplicate positions at the boundary.
-        y = jnp.where(queries <= p[0], sig[0], y)
+        # np.interp boundary semantics: for duplicate positions at the HEAD
+        # (clipping to 0) both np and jnp return the last duplicate's value;
+        # at the TAIL np returns the final sample while jnp returns the first
+        # of the trailing duplicates — patch the tail only.
         return jnp.where(queries >= p[-1], sig[-1], y)
 
     return jax.vmap(jax.vmap(interp_1d))(pos, x)

@@ -9,6 +9,13 @@ import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+# The env var alone is not enough here: the ambient environment presets a
+# TPU platform and overrides it.  Force CPU before any backend init so the
+# fixtures carry CPU fp32 arithmetic (what the test suite compares against).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 
