@@ -1,0 +1,140 @@
+"""torch-checkpoint → flax converter (migration/crosscheck tool).
+
+Converts a reference ``model.pth`` state_dict (train_model.py:481-482) into
+the {'params', 'batch_stats'} trees this framework's models consume, so a
+reference-trained checkpoint can be loaded and forward-compared exactly —
+the cheapest insurance for the ≤0.5 pt accuracy-parity target (BASELINE.md).
+
+Covered: ResNet9 width presets (models.py:520-589) and the Potes CNN
+(models.py:367-465).  Layout notes:
+- torch Conv1d weight (Co, Ci, k)  → flax Conv kernel (k, Ci, Co)
+- torch Linear weight (Co, Ci)    → flax Dense kernel (Ci, Co)
+- torch BatchNorm1d weight/bias   → flax BatchNorm scale/bias;
+  running_mean/var → batch_stats mean/var
+The flatten order is already torch-parity in the models (flatten_torch), so
+Linear weights map without permutation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import numpy as np
+
+
+def _np(v) -> np.ndarray:
+    if hasattr(v, "detach"):  # torch tensor
+        v = v.detach().cpu().numpy()
+    # copy: .numpy() returns a VIEW of torch storage — without it, in-place
+    # optimizer updates on the torch side would mutate the converted tree
+    return np.array(v, np.float32, copy=True)
+
+
+def _conv(sd: Mapping, prefix: str) -> dict:
+    return {
+        "Conv_0": {
+            "kernel": _np(sd[f"{prefix}.weight"]).transpose(2, 1, 0),
+            "bias": _np(sd[f"{prefix}.bias"]),
+        }
+    }
+
+
+def _bn_params(sd: Mapping, prefix: str) -> dict:
+    return {
+        "BatchNorm_0": {
+            "scale": _np(sd[f"{prefix}.weight"]),
+            "bias": _np(sd[f"{prefix}.bias"]),
+        }
+    }
+
+
+def _bn_stats(sd: Mapping, prefix: str) -> dict:
+    return {
+        "BatchNorm_0": {
+            "mean": _np(sd[f"{prefix}.running_mean"]),
+            "var": _np(sd[f"{prefix}.running_var"]),
+        }
+    }
+
+
+def _dense(sd: Mapping, prefix: str) -> dict:
+    return {
+        "Dense_0": {
+            "kernel": _np(sd[f"{prefix}.weight"]).T,
+            "bias": _np(sd[f"{prefix}.bias"]),
+        }
+    }
+
+
+# torch module path → flax block name (ResNet9_myrtle, models.py:520-531)
+_RESNET9_BLOCKS = {
+    "conv1": "conv1",
+    "conv2": "conv2",
+    "res1.0": "res1a",
+    "res1.1": "res1b",
+    "conv3": "conv3",
+    "conv4": "conv4",
+    "res2.0": "res2a",
+    "res2.1": "res2b",
+}
+
+
+def torch_resnet9_to_flax(state_dict: Mapping[str, Any]) -> dict:
+    """ResNet9 state_dict → {'params', 'batch_stats'}.
+
+    Each reference conv_block is Sequential(Conv1d, BatchNorm1d, ReLU[, Pool])
+    (models.py:467-472), so '<block>.0' is the conv and '<block>.1' the BN.
+    """
+    sd = {k.removeprefix("module."): v for k, v in state_dict.items()}
+    params: dict = {}
+    stats: dict = {}
+    for tname, fname in _RESNET9_BLOCKS.items():
+        params[fname] = {
+            "Conv1d_0": _conv(sd, f"{tname}.0"),
+            "BatchNorm_0": _bn_params(sd, f"{tname}.1"),
+        }
+        stats[fname] = {"BatchNorm_0": _bn_stats(sd, f"{tname}.1")}
+    params["linear"] = _dense(sd, "linear")
+    return {"params": params, "batch_stats": stats}
+
+
+def torch_potes_to_flax(state_dict: Mapping[str, Any]) -> dict:
+    """Potes CNN state_dict → {'params', 'batch_stats'}.
+
+    Only cnn1 carries live parameters (the reference's forward routes every
+    band through cnn1; cnn2-4 are dead branches, models.py:386-398).
+    Blocks are Sequential(Sequential(Conv1d, ReLU, Pool),
+    Sequential(Conv1d, ReLU, Pool, Dropout)) → convs at cnn1.0.0 / cnn1.1.0.
+    """
+    sd = {k.removeprefix("module."): v for k, v in state_dict.items()}
+    params = {
+        "cnn1": {
+            "Conv1d_0": _conv(sd, "cnn1.0.0"),
+            "Conv1d_1": _conv(sd, "cnn1.1.0"),
+        },
+        "dimreduc": _dense(sd, "dimreduc"),
+        "linear": _dense(sd, "linear"),
+    }
+    return {"params": params, "batch_stats": {}}
+
+
+def torch_state_dict_to_flax(state_dict: Mapping[str, Any], model: str) -> dict:
+    """Dispatch on the framework's model name ('resnet9*', 'Potes')."""
+    if model.startswith("resnet9"):
+        return torch_resnet9_to_flax(state_dict)
+    if model == "Potes":
+        return torch_potes_to_flax(state_dict)
+    raise NotImplementedError(
+        f"torch→flax conversion implemented for ResNet9 presets and Potes, "
+        f"not {model!r}"
+    )
+
+
+def load_torch_checkpoint(path: str, model: str) -> dict:
+    """Load a reference model.pth and convert (train_model.py:481-482)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return torch_state_dict_to_flax(sd, model)

@@ -95,7 +95,43 @@ def train_torch(ds):
     return recording_level_eval(probs, test.label, test.wav)["test_accuracy"]
 
 
+def transplant_main():
+    """Weight-transplant per-step loss comparison (see
+    tests/test_transplant_dynamics.py for the CI version): identical torch
+    init converted via pcgmix_tpu.train.convert, identical augmented
+    batches, 20 Adam+OneCycle steps, per-step |Δloss| reported."""
+    import sys
+
+    import jax
+
+    # fp32 parity comparison: run the flax side on the CPU backend (TPU fp32
+    # matmuls default to bf16 passes, inflating the deltas)
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, "tests")
+    import torch
+
+    import test_transplant_dynamics as td
+    from pcgmix_tpu.train.convert import torch_state_dict_to_flax
+
+    for method in ("base", "durratiomixup"):
+        torch.manual_seed(4)
+        torch.set_num_threads(1)
+        net = td._torch_resnet9()
+        variables = torch_state_dict_to_flax(net.state_dict(), "resnet9-5k")
+        batches = td._prebuild_batches(method)
+        lt = td._run_torch(net, batches)
+        lj = td._run_flax(variables, batches)
+        delta = np.abs(lj - lt)
+        print(f"{method}: step0 |Δ|={delta[0]:.2e}, steps 0-6 max "
+              f"|Δ|={delta[:7].max():.2e}, overall max |Δ|={delta.max():.3f}")
+
+
 def main():
+    import sys
+
+    if "--transplant" in sys.argv:
+        transplant_main()
+        return
     accs_jax, accs_torch = [], []
     for seed in (1, 2, 3):
         ds = synthetic_physionet_dict(
