@@ -19,6 +19,23 @@ MODEL_BANDS = ("25-45", "45-80", "80-200", "200-400")
 WIDE_BAND = "25-400"
 
 
+def load_cvd_map(csv_path: str) -> dict:
+    """Load the wav → cardiovascular-diagnosis map used by the (sameCVD)
+    pairing constraint.  The reference reads this csv at import time from a
+    hardcoded out-of-repo path (augmentations.py:26-28, columns 'wav' and
+    'diagnosis'); here it is an explicit input."""
+    import csv
+
+    with open(csv_path, newline="") as f:
+        rows = list(csv.DictReader(f))
+    if not rows or "wav" not in rows[0] or "diagnosis" not in rows[0]:
+        raise ValueError(
+            f"{csv_path}: expected csv columns 'wav' and 'diagnosis' "
+            "(cvds_map.csv contract, augmentations.py:26-28)"
+        )
+    return {r["wav"]: r["diagnosis"] for r in rows}
+
+
 def bands_to_channels(
     data_dict: dict, num_channels: int, classical_space: bool = False
 ) -> np.ndarray:

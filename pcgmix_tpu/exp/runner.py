@@ -82,6 +82,10 @@ def main(argv=None):
     p.add_argument("--valid", action="store_true")
     p.add_argument("--no-robust", action="store_true")
     p.add_argument("--experiments-root", default="experiments")
+    p.add_argument(
+        "--cvd-map-csv", default=None,
+        help="cvds_map.csv (columns wav,diagnosis) for (sameCVD) methods",
+    )
     args = p.parse_args(argv)
 
     dataset = utils.file2dict(args.dataset_file)
@@ -95,6 +99,7 @@ def main(argv=None):
         num_channels=args.num_channels,
         valid=args.valid,
         experiments_root=args.experiments_root,
+        cvd_map=args.cvd_map_csv,
     )
     run_grid(
         base_cfg,

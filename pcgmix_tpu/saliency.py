@@ -124,7 +124,12 @@ def make_pretrained_saliency_fn(
         ]
         ckpt_dir = checkpoint_dir_for(method)
         model_eval = build_model(cfg.model, cfg.dataset, cfg.num_classes, train=False)
-        shape = (1, cfg.num_channels, cfg.sig_len)
+        if cfg.spectrogram:
+            # 2-D checkpoints restore against (B, 1, F, T) mel images
+            # (saliency.py:43-46 loads models2d.ResNet9)
+            shape = (1, 1, cfg.sig_len, cfg.sig_len)
+        else:
+            shape = (1, cfg.num_channels, cfg.sig_len)
         restored = load_checkpoint(os.path.join(ckpt_dir, "model.msgpack"), model_eval, shape)
 
         def fn(data, target_ohe, frames):

@@ -85,7 +85,8 @@ class TrainConfig:
                                  # (device-resident methods only; gated-off
                                  # steps ride as identity plans)
     eval_batch_size: int = 1000
-    cvd_map: Optional[dict] = None
+    cvd_map: Optional[object] = None  # dict wav→diagnosis, or a cvds_map.csv
+                                      # path (augmentations.py:26-28)
     n_devices: Optional[int] = None  # data-parallel devices; None = all
                                      # visible (the reference wraps every run
                                      # in nn.DataParallel, train_model.py:385)
@@ -227,6 +228,11 @@ def train_model(
 
         put_scan = put_batch
 
+    cvd_map = cfg.cvd_map
+    if isinstance(cvd_map, str):
+        from pcgmix_tpu.data.datasets import load_cvd_map
+
+        cvd_map = load_cvd_map(cvd_map)
     engine = AugmentEngine(
         AugmentConfig(
             method=cfg.method,
@@ -240,7 +246,7 @@ def train_model(
             spectrogram=cfg.spectrogram,
             spec_freq=train_ds.data.shape[-2] if cfg.spectrogram else 0,
             model=cfg.model,
-            cvd_map=cfg.cvd_map,
+            cvd_map=cvd_map,
             use_pallas=cfg.use_pallas,
         )
     )
