@@ -2,23 +2,35 @@
 
 Measures the full training-step pipeline — host plan (reference-exact RNG) +
 jitted augment/forward/backward/update — for the headline configuration
-(1-D ResNet9, batch 64, 4×2500 inputs, durmixmagwarp(0.2,4); BASELINE.md) on
+(1-D ResNet9, batch 64, 4x2500 inputs, durmixmagwarp(0.2,4); BASELINE.md) on
 the available accelerator, and compares against a faithful CPU emulation of
 the reference's per-sample hot loop (torch model + python slice loop +
 per-sample scipy CubicSpline magnitude warp, augmentations.py:970-977,
 :924-928).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "samples/sec/chip", "vs_baseline": N}
+Methodology (round-2 overhaul):
+  * three modes are measured: the headline `value` is bf16 + SCAN_K-step
+    scan dispatch (TrainConfig(compute_dtype="bfloat16",
+    steps_per_dispatch=8) — the production fast config; amortizing dispatch
+    latency is worth ~2-6x on the tunneled chip, see BENCH.md), plus
+    per-step bf16 and per-step fp32 (reference-numerical-parity) rows;
+  * each mode reports the MEDIAN of its measurement windows of
+    MEASURE_STEPS steps each, plus the (max-min)/median spread;
+  * MFU is estimated from XLA's compiled cost analysis (flops per step /
+    wall-time per step / chip peak);
+  * the CPU reference baseline runs >=10 full steps (cached in
+    .bench_cpu_baseline.json; delete the file to re-measure).
 
-The CPU baseline is cached in .bench_cpu_baseline.json (single-core CPU
-steps take minutes; delete the file to re-measure).
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "samples/sec/chip", "vs_baseline": N,
+   ...methodology fields...}
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import time
 
 import numpy as np
@@ -26,9 +38,21 @@ import numpy as np
 BATCH = 64
 SIG_LEN = 2500
 CHANNELS = 4
-MEASURE_STEPS = 30
+MEASURE_STEPS = 48
+WINDOWS = 5
+SCAN_K = 8  # headline mode fuses K steps per dispatch (lax.scan), amortizing
+            # the per-dispatch host→device latency (see BENCH.md)
+CPU_STEPS = 10
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cpu_baseline.json")
-CACHE_KEY = f"resnet9-b{BATCH}-t{SIG_LEN}-c{CHANNELS}-durmixmagwarp"
+CACHE_KEY = f"resnet9-b{BATCH}-t{SIG_LEN}-c{CHANNELS}-durmixmagwarp-s{CPU_STEPS}"
+
+# chip peak dense-matmul throughput (bf16), FLOP/s — for the MFU estimate
+PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,  # v5e
+    "TPU v5": 459e12,       # v5p
+    "TPU v6 lite": 918e12,  # v6e (Trillium)
+}
 
 
 def _make_batches(num_steps: int):
@@ -45,21 +69,30 @@ def _make_batches(num_steps: int):
     return ds
 
 
-def bench_tpu() -> float:
+def _enable_compile_cache():
+    """Persistent XLA compile cache: the scan-of-step program takes ~10 min
+    to compile cold on the tunneled chip; warm runs skip it entirely."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
+def _build(train_ds, compute_dtype):
+    """Build (engine, step_fn, initial state, key) for one compute mode."""
     import jax
     import jax.numpy as jnp
 
     from pcgmix_tpu.augment.engine import AugmentConfig, AugmentEngine
-    from pcgmix_tpu.data import EpochIterator
     from pcgmix_tpu.models import build_model
     from pcgmix_tpu.train.losses import init_selc_table
     from pcgmix_tpu.train.steps import TrainState, make_optimizer, make_train_step
 
-    train_ds = _make_batches(MEASURE_STEPS + 5)
-    # bfloat16 compute (params fp32): full-rate MXU on v5e, ~1.8x over fp32
-    model = build_model("resnet9", train=True, compute_dtype=jnp.bfloat16)
-    num_steps = MEASURE_STEPS + 5
-    tx = make_optimizer("adam", 0.01, 1e-4, 0.1, num_steps, use_sched=True)
+    model = build_model("resnet9", train=True, compute_dtype=compute_dtype)
+    tx = make_optimizer("adam", 0.01, 1e-4, 0.1, MEASURE_STEPS + 5, use_sched=True)
     variables = model.init(
         jax.random.PRNGKey(4), jnp.zeros((1, CHANNELS, SIG_LEN), jnp.float32)
     )
@@ -84,7 +117,52 @@ def bench_tpu() -> float:
         train_data=jnp.asarray(train_ds.data),
         train_labels=jnp.asarray(train_ds.label),
     )
-    key = jax.random.PRNGKey(0)
+    return engine, step, state, jax.random.PRNGKey(0)
+
+
+def _flops_per_step(engine, step, state, key) -> float | None:
+    """FLOPs of one compiled train step, from XLA cost analysis."""
+    import jax.numpy as jnp
+
+    _log("XLA cost analysis (second compile)")
+    try:
+        labels = np.zeros(BATCH, np.int64)
+        frames = np.tile(
+            np.linspace(0, SIG_LEN - 1, 5).astype(np.int64), (BATCH, 1)
+        )
+        wavs = np.zeros(BATCH, np.int64)
+        plan = engine.plan(0, frames, labels, wavs)
+        dev_batch = {"indices": jnp.zeros(BATCH, jnp.int32)}
+        compiled = step.lower(state, dev_batch, plan.arrays, 1, key).compile()
+        analysis = compiled.cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        return float(analysis["flops"])
+    except Exception:
+        return None
+
+
+def _log(msg: str) -> None:
+    import sys
+
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+def bench_mode(train_ds, compute_dtype, windows: int = WINDOWS,
+               want_flops: bool = True, scan_k: int = 1):
+    """Median samples/s over `windows` measurement windows + spread."""
+    import jax
+    import jax.numpy as jnp
+
+    from pcgmix_tpu.data import EpochIterator
+
+    _log(f"building {compute_dtype.__name__} step (scan_k={scan_k})")
+    engine, step, state, key = _build(train_ds, compute_dtype)
+    multi = None
+    if scan_k > 1:
+        from pcgmix_tpu.train.steps import make_multi_step
+
+        multi = make_multi_step(step)
 
     def run_steps(n, start):
         nonlocal state
@@ -93,29 +171,59 @@ def bench_tpu() -> float:
             materialize_data=False,
         )
         count = 0
-        for batch in it:
-            sc = start + count
-            plan = engine.plan(sc, batch["frames"], batch["label"], batch["wav"])
-            dev_batch = {"indices": jnp.asarray(batch["indices"])}
-            state, out = step(
-                state, dev_batch, plan.arrays, 1, jax.random.fold_in(key, sc)
-            )
-            count += 1
-            if count >= n:
-                break
+        if scan_k > 1:
+            buf_i, buf_p, buf_s = [], [], []
+            for batch in it:
+                sc = start + count
+                arr, _ = engine.plan_arrays_or_identity(
+                    sc, batch["frames"], batch["label"], batch["wav"]
+                )
+                buf_i.append(batch["indices"])
+                buf_p.append(arr)
+                buf_s.append(sc)
+                count += 1
+                if len(buf_i) == scan_k:
+                    stacked = jax.tree_util.tree_map(
+                        lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                        *buf_p,
+                    )
+                    state, _ = multi(
+                        state, jnp.asarray(np.stack(buf_i)), stacked,
+                        jnp.asarray(buf_s), 1, key,
+                    )
+                    buf_i, buf_p, buf_s = [], [], []
+                if count >= n:
+                    break
+        else:
+            for batch in it:
+                sc = start + count
+                plan = engine.plan(
+                    sc, batch["frames"], batch["label"], batch["wav"]
+                )
+                dev_batch = {"indices": jnp.asarray(batch["indices"])}
+                state, out = step(
+                    state, dev_batch, plan.arrays, 1,
+                    jax.random.fold_in(key, sc),
+                )
+                count += 1
+                if count >= n:
+                    break
         jax.block_until_ready(state.params)
         return count
 
-    run_steps(3, 0)  # warmup / compile
-    # the tunneled TPU's effective rate fluctuates heavily run-to-run;
-    # report the best of three measurement windows
-    best = 0.0
-    for rep in range(3):
-        t0 = time.time()
-        n = run_steps(MEASURE_STEPS, 3 + rep * MEASURE_STEPS)
-        dt = time.time() - t0
-        best = max(best, n * BATCH / dt)
-    return best
+    run_steps(max(3, scan_k), 0)  # warmup / compile
+    _log("compiled; measuring")
+    rates = []
+    for rep in range(windows):
+        t0 = time.perf_counter()
+        n = run_steps(MEASURE_STEPS, 3 + rep)
+        dt = time.perf_counter() - t0
+        rates.append(n * BATCH / dt)
+        _log(f"window {rep + 1}/{windows}: {n * BATCH / dt:.0f} samples/s")
+    med = statistics.median(rates)
+    spread = (max(rates) - min(rates)) / med if med else 0.0
+    flops = _flops_per_step(engine, step, state, key) if want_flops else None
+    return med, spread, flops
 
 
 def bench_cpu_reference() -> float:
@@ -197,9 +305,15 @@ def bench_cpu_reference() -> float:
     frames = train_ds.frames[idx]
     target = torch.from_numpy(train_ds.label[idx])
 
-    n_steps = 2
-    t0 = time.time()
-    for _ in range(n_steps):
+    # one untimed warmup step (torch lazily initializes conv kernels/threads)
+    auged = aug_reference_style(data, frames)
+    loss = nn.functional.cross_entropy(model(auged), target)
+    loss.backward()
+    opt.step()
+    opt.zero_grad()
+
+    t0 = time.perf_counter()
+    for _ in range(CPU_STEPS):
         auged = aug_reference_style(data, frames)
         out = model(auged)
         loss = nn.functional.cross_entropy(out, target)
@@ -207,26 +321,63 @@ def bench_cpu_reference() -> float:
         nn.utils.clip_grad_value_(model.parameters(), 0.1)
         opt.step()
         opt.zero_grad()
-    dt = time.time() - t0
-    sps = n_steps * BATCH / dt
+    dt = time.perf_counter() - t0
+    sps = CPU_STEPS * BATCH / dt
     with open(CACHE, "w") as f:
-        json.dump({"key": CACHE_KEY, "samples_per_sec": sps, "seconds": dt}, f)
+        json.dump({"key": CACHE_KEY, "samples_per_sec": sps, "seconds": dt,
+                   "steps": CPU_STEPS}, f)
     return sps
 
 
 def main():
-    tpu_sps = bench_tpu()
-    cpu_sps = bench_cpu_reference()
-    print(
-        json.dumps(
-            {
-                "metric": "PCGmix+ (durmixmagwarp) ResNet9 train throughput",
-                "value": round(tpu_sps, 1),
-                "unit": "samples/sec/chip",
-                "vs_baseline": round(tpu_sps / cpu_sps, 1),
-            }
-        )
+    import jax
+    import jax.numpy as jnp
+
+    _enable_compile_cache()
+    _log("generating synthetic corpus")
+    train_ds = _make_batches(MEASURE_STEPS + SCAN_K + 5)
+    # headline: bf16 + K-step scan dispatch (the production fast config)
+    scan_sps, scan_spread, flops = bench_mode(
+        train_ds, jnp.bfloat16, scan_k=SCAN_K
     )
+    bf16_sps, bf16_spread, _ = bench_mode(
+        train_ds, jnp.bfloat16, windows=3, want_flops=False
+    )
+    fp32_sps, fp32_spread, _ = bench_mode(
+        train_ds, jnp.float32, windows=3, want_flops=False
+    )
+    _log("CPU reference baseline")
+    cpu_sps = bench_cpu_reference()
+
+    kind = jax.devices()[0].device_kind
+    peak = PEAK_FLOPS.get(kind)
+    mfu = None
+    if flops and peak:
+        mfu = (flops * scan_sps / BATCH) / peak
+
+    out = {
+        "metric": "PCGmix+ (durmixmagwarp) ResNet9 train throughput",
+        "value": round(scan_sps, 1),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(scan_sps / cpu_sps, 1),
+        "scan_k": SCAN_K,
+        "scan_spread_pct": round(100 * scan_spread, 1),
+        "bf16_perstep_sps": round(bf16_sps, 1),
+        "bf16_perstep_spread_pct": round(100 * bf16_spread, 1),
+        "fp32_perstep_sps": round(fp32_sps, 1),
+        "fp32_perstep_spread_pct": round(100 * fp32_spread, 1),
+        "fp32_vs_baseline": round(fp32_sps / cpu_sps, 1),
+        "cpu_baseline_sps": round(cpu_sps, 2),
+        "cpu_baseline_steps": CPU_STEPS,
+        "windows": f"median of {WINDOWS}x{MEASURE_STEPS}-step windows "
+                   f"(secondary rows: 3 windows)",
+        "device": kind,
+    }
+    if flops:
+        out["flops_per_step"] = round(flops)
+    if mfu is not None:
+        out["mfu_pct"] = round(100 * mfu, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

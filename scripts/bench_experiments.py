@@ -23,7 +23,9 @@ def run(compute_dtype: str, scan_k: int, use_pallas: bool, steps=60, reps=5):
     )
 
     BATCH, SIG_LEN, CHANNELS = 64, 2500, 4
-    n_wavs = max(8, int(np.ceil((steps * (reps + 1) + 8) * BATCH / 8 * 1.15)))
+    # each measurement window restarts an EpochIterator, so the corpus only
+    # needs steps+8 batches, not steps*reps
+    n_wavs = max(8, int(np.ceil((steps + 8) * BATCH / 8 * 1.15)))
     dataset = synthetic_physionet_dict(
         num_wavs_train=n_wavs, num_wavs_test=2, segments_per_wav=8,
         sig_len=SIG_LEN, seed=0,
