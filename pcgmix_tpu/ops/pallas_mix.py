@@ -48,7 +48,8 @@ def _kernel(n_pieces: int, base_is_d1: bool,
         srcv = jnp.where(sel_ref[i, k] > 0, rot2, rot1)
         inside = (t >= dst) & (t < dst + length)
         out = jnp.where(inside, a * d1 + (1.0 - a) * srcv, out)
-    out_ref[0] = out
+    # fp32 alpha promotes bf16 rows; cast back (bf16 batches are legal input)
+    out_ref[0] = out.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("base_is_d1", "interpret"))
@@ -150,7 +151,9 @@ def _kernel_fused(n_pieces: int,
     warper = jnp.dot(basis_ref[...], knots_ref[0],
                      preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)
-    out_ref[0] = out * warper.T
+    # the fp32 spline product is cast back to the ref dtype (bf16 inputs are
+    # legal: engine.apply may be called on an already-downcast batch)
+    out_ref[0] = (out * warper.T).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

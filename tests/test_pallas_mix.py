@@ -49,3 +49,26 @@ def test_pallas_matches_xla_concat_base_zero(rng):
         piecewise_mix_batch_pallas(*args, base_is_d1=False, interpret=True)
     )
     np.testing.assert_allclose(pal, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_pallas_bf16_batch(rng):
+    """bf16 batches are legal input: the fp32 alpha/spline math must cast
+    back at the out_ref write instead of crashing (regression: dtype `swap`
+    mismatch when engine.apply runs on an already-downcast batch)."""
+    from pcgmix_tpu.ops.pallas_mix import pcgmix_plus_fused_pallas
+
+    data, mix, p = _inputs(rng, 0.3)
+    bf = jnp.asarray(data, jnp.bfloat16)
+    args = (bf, jnp.asarray(mix), jnp.asarray(p["dst_start"]),
+            jnp.asarray(p["src_start"]), jnp.asarray(p["length"]),
+            jnp.asarray(p["src_sel"]), jnp.asarray(p["alpha"], jnp.float32))
+    out = piecewise_mix_batch_pallas(*args, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    ref = np.asarray(piecewise_mix_batch(
+        jnp.asarray(data), *args[1:])).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref,
+                               rtol=2e-2, atol=2e-2)
+
+    knots = jnp.asarray(rng.normal(1.0, 0.2, size=(B, 6, C)), jnp.float32)
+    fused = pcgmix_plus_fused_pallas(*args, knots, interpret=True)
+    assert fused.dtype == jnp.bfloat16
