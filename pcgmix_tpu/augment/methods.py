@@ -164,8 +164,12 @@ def parse_method(method: str, *, spectrogram: bool = False) -> MethodSpec:
         spec.pairing = "same_dataset"
     if base == "wavcutmix":
         spec.pairing = "same_wav"
-    if base in ("swapsysdia", "cont-cutmix", "saliency-cutmix", "cutmix", "cutout"):
+    if base in ("swapsysdia", "cont-cutmix", "saliency-cutmix", "cutout"):
         spec.pairing = "mix_all"
+    if base == "cutmix":
+        # 1-D plain cutmix shuffles across classes (augmentations.py:1521-1522);
+        # the 2-D handler pairs within the same label (augmentations2d.py:588)
+        spec.pairing = "same_label" if spectrogram else "mix_all"
     if base == "mixup":
         if "(same)" not in method and "(mix)" not in method:
             # both reference handlers only implement these two variants
