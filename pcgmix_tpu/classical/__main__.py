@@ -1,0 +1,93 @@
+"""Classical-pipeline CLI: features → prune → aggregate → classifier bench.
+
+Runs the reference's classical.ipynb flow (classical.py:62-113, :115-146,
+:165-243, :1391-1617) end-to-end on a packed dataset file:
+
+    python -m pcgmix_tpu.classical --dataset-file zbytes_physionet.dat \
+        --out-dir classical_out
+
+Artifacts in --out-dir: features.csv (per-segment), aggregated.csv
+(per-recording-window rows) and results.csv (one metrics row per
+classifier).  Resume: re-runs skip extraction when features.csv already
+exists (delete it to re-extract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="python -m pcgmix_tpu.classical",
+        description="PCG classical-ML pipeline (features + sklearn bench)",
+    )
+    ap.add_argument("--dataset-file", required=True,
+                    help="packed dataset dict (.dat from pcgmix-build)")
+    ap.add_argument("--out-dir", required=True)
+    ap.add_argument("--band", default="25-400",
+                    help="signal band used for feature extraction "
+                         "(classical.py:49-55)")
+    ap.add_argument("--window", type=int, default=2,
+                    help="rolling aggregation window; 0 = single-vector "
+                         "per recording")
+    ap.add_argument("--no-prune", action="store_true",
+                    help="skip the mean-envelope segment outlier removal")
+    ap.add_argument("--std-factor", type=float, default=1.4)
+    ap.add_argument("--kb-num", type=int, default=40,
+                    help="mutual-information top-K feature count")
+    ap.add_argument("--seed", type=int, default=4)
+    ap.add_argument("--start-counter", type=int, default=0,
+                    help="resume feature extraction from this segment "
+                         "counter (classical.py:71)")
+    ap.add_argument("--skip", type=int, nargs="*", default=(),
+                    help="segment counters to skip (classical.py:87)")
+    args = ap.parse_args(argv)
+
+    import pandas as pd
+
+    from pcgmix_tpu import utils
+    from pcgmix_tpu.classical import (
+        aggregate_features_rolling,
+        aggregate_features_single,
+        extract_features,
+        remove_segments_mean_envelope,
+        run_experiment,
+    )
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    feats_path = os.path.join(args.out_dir, "features.csv")
+    if os.path.exists(feats_path):
+        print(f"resume: loading existing {feats_path}", file=sys.stderr)
+        feats = pd.read_csv(feats_path)
+    else:
+        dataset = utils.file2dict(args.dataset_file)
+        splits = [s for s in ("train", "test") if s in dataset]
+        feats = extract_features(
+            dataset, splits=splits, band=args.band,
+            start_counter=args.start_counter, skip=args.skip,
+            save_path=feats_path,
+        )
+    print(f"{len(feats)} segments x {len(feats.columns)} columns",
+          file=sys.stderr)
+
+    if not args.no_prune:
+        feats = remove_segments_mean_envelope(feats, std_factor=args.std_factor)
+        print(f"after envelope pruning: {len(feats)} segments", file=sys.stderr)
+
+    if args.window > 0:
+        agg = aggregate_features_rolling(feats, window=args.window)
+    else:
+        agg = aggregate_features_single(feats)
+    agg.to_csv(os.path.join(args.out_dir, "aggregated.csv"), index=False)
+
+    results = run_experiment(agg, kb_num=args.kb_num, seed=args.seed)
+    results.to_csv(os.path.join(args.out_dir, "results.csv"), index=False)
+    print(results.to_string(index=False))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -16,6 +16,7 @@ from pcgmix_tpu.data.umc import umc_split
 from pcgmix_tpu.data.synthetic import (
     synthetic_physionet_dict,
     synthetic_physionet_full_dict,
+    synthetic_spectrogram_dict,
 )
 
 __all__ = [
@@ -27,4 +28,5 @@ __all__ = [
     "umc_split",
     "synthetic_physionet_dict",
     "synthetic_physionet_full_dict",
+    "synthetic_spectrogram_dict",
 ]

@@ -80,7 +80,10 @@ class TrainConfig:
                                     # reference numerical parity
     profile_dir: Optional[str] = None  # capture a jax.profiler trace of
                                        # epoch 2 into this directory
-    use_pallas: bool = False  # TPU lane-rotation kernel for piecewise mixes
+    use_pallas: Optional[bool] = None  # TPU lane-rotation kernel for the
+                                       # piecewise mixes; None = auto (on for
+                                       # a TPU backend — bit-identical to the
+                                       # XLA path, see tests/test_pallas_mix)
     steps_per_dispatch: int = 1  # >1: fuse K steps per dispatch via lax.scan
                                  # (device-resident methods only; gated-off
                                  # steps ride as identity plans)
@@ -247,7 +250,13 @@ def train_model(
             spec_freq=train_ds.data.shape[-2] if cfg.spectrogram else 0,
             model=cfg.model,
             cvd_map=cvd_map,
-            use_pallas=cfg.use_pallas,
+            # auto: on for single-device TPU runs.  Under a DP mesh GSPMD
+            # cannot partition the opaque pallas_call (the pair gather may
+            # cross shards), so auto keeps the XLA gather path there.
+            use_pallas=(
+                jax.default_backend() == "tpu" and n_dev == 1
+                if cfg.use_pallas is None else cfg.use_pallas
+            ),
         )
     )
     selc_es = _selc_turnpoint(cfg)

@@ -121,3 +121,31 @@ def test_pipeline_end_to_end(feature_table):
 def test_aggregate_single(feature_table):
     single = aggregate_features_single(feature_table)
     assert len(single) == feature_table["wav"].nunique()
+
+
+def test_cli_end_to_end(tmp_path):
+    """python -m pcgmix_tpu.classical: extract → prune → aggregate → bench,
+    artifact writing, and the features.csv resume contract."""
+    from pcgmix_tpu import utils
+    from pcgmix_tpu.classical.__main__ import main
+
+    ds = synthetic_physionet_dict(
+        num_wavs_train=6, num_wavs_test=4, segments_per_wav=2, sig_len=600,
+        seed=3,
+    )
+    dat = tmp_path / "d.dat"
+    out = tmp_path / "out"
+    utils.dict2file(ds, str(dat))
+    assert main(["--dataset-file", str(dat), "--out-dir", str(out),
+                 "--kb-num", "10"]) == 0
+    for f in ("features.csv", "aggregated.csv", "results.csv"):
+        assert (out / f).exists(), f
+    results = pd.read_csv(out / "results.csv")
+    assert len(results) >= 7 and results["Accuracy"].between(0, 1).all()
+    # resume: mutate features.csv, re-run, and confirm it was used as-is
+    feats = pd.read_csv(out / "features.csv")
+    feats["BPM"] = 0.0
+    feats.to_csv(out / "features.csv", index=False)
+    assert main(["--dataset-file", str(dat), "--out-dir", str(out),
+                 "--kb-num", "10"]) == 0
+    assert (pd.read_csv(out / "features.csv")["BPM"] == 0).all()

@@ -318,6 +318,45 @@ def test_unseeded_np_stream_methods_match(ref, method):
         )
 
 
+@pytest.mark.parametrize(
+    "method",
+    ["(saloptenv)durratiomixup", "(saloptsum)durratiomixup",
+     "(saloptenv)durmixmagwarp(0.2,4)"],
+)
+def test_salopt_dispatch_matches_reference(ref, method):
+    """The (salopt…) dispatch path (augmentations.py:966-977 →
+    mixup_keepdur_multidim_tensors_salopt :210-287) with identical saliency
+    maps injected on both sides: reference via the stubbed
+    saliency.get_saliency_maps, ours via the engine's saliency_fn hook."""
+    data, frames, labels, wavs, cvds = _batch(seed=17)
+    rng = np.random.default_rng(99)
+    sal = np.abs(rng.normal(size=(B, T))).astype(np.float32)
+    for i in range(B):
+        sal[i, frames[i, -1]:] = 0.0
+    ref.saliency.get_saliency_maps = lambda *a, **k: np.array(sal, copy=True)
+    for step in STEPS:
+        r_out, r_t, _, _ = run_reference(
+            ref, method, data, frames, labels, wavs, step
+        )
+        eng = AugmentEngine(AugmentConfig(
+            method=method, batch_size=B, num_channels=C, sig_len=T,
+            model="resnet9",
+        ))
+        plan = eng.plan(
+            step, frames, labels, wavs,
+            saliency_fn=lambda mix_model=0: np.array(sal, copy=True),
+        )
+        tohe = np.eye(2, dtype=np.float32)[labels]
+        out, t2 = eng.apply(jnp.asarray(data), jnp.asarray(tohe), plan.arrays)
+        tol = dict(rtol=1e-4, atol=2e-5) if "magwarp" in method else dict(
+            rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), r_out, err_msg=f"{method} step {step}", **tol
+        )
+        np.testing.assert_allclose(np.asarray(t2), r_t, rtol=1e-6, atol=1e-7)
+
+
 def test_pair_selectors_match_reference(ref):
     """Direct comparison of every pair-selector function
     (augmentations.py:500-653) against pcgmix_tpu.augment.pairing."""
