@@ -86,6 +86,26 @@ def main(argv=None):
         "--cvd-map-csv", default=None,
         help="cvds_map.csv (columns wav,diagnosis) for (sameCVD) methods",
     )
+    p.add_argument(
+        "--compute-dtype", default="float32",
+        choices=["float32", "bfloat16"],
+        help="bfloat16 = full-rate MXU throughput mode; float32 keeps "
+             "reference numerical parity",
+    )
+    p.add_argument(
+        "--steps-per-dispatch", type=int, default=1,
+        help=">1 fuses K train steps per dispatch via lax.scan "
+             "(~2x wall on a tunneled chip at K=8, see BENCH.md)",
+    )
+    p.add_argument(
+        "--n-devices", type=int, default=None,
+        help="data-parallel device count (default: all visible; 1 = no mesh)",
+    )
+    p.add_argument(
+        "--checkpoint-every", type=int, default=0,
+        help="epochs between orbax full-state checkpoints (0 = final only)",
+    )
+    p.add_argument("--eval-batch-size", type=int, default=1000)
     args = p.parse_args(argv)
 
     dataset = utils.file2dict(args.dataset_file)
@@ -100,6 +120,11 @@ def main(argv=None):
         valid=args.valid,
         experiments_root=args.experiments_root,
         cvd_map=args.cvd_map_csv,
+        compute_dtype=args.compute_dtype,
+        steps_per_dispatch=args.steps_per_dispatch,
+        n_devices=args.n_devices,
+        checkpoint_every=args.checkpoint_every,
+        eval_batch_size=args.eval_batch_size,
     )
     run_grid(
         base_cfg,

@@ -70,3 +70,26 @@ def test_viz_helpers(tmp_path):
                   path=str(tmp_path / "sal.png"))
     for p in (p1, p2, p3):
         assert os.path.exists(p)
+
+def test_runner_cli_fast_config_flags(tmp_path):
+    """The CLI exposes the production perf knobs (compute dtype, scan
+    dispatch, mesh devices) and threads them into TrainConfig."""
+    from pcgmix_tpu import utils
+    from pcgmix_tpu.exp.runner import main
+
+    dat = tmp_path / "p.dat"
+    utils.dict2file(DS, str(dat))
+    main([
+        "--dataset-file", str(dat), "--methods", "durmixmagwarp(0.2,4)",
+        "--n-fractions", "1.0", "--seeds", "1", "--seed-datas", "1100001",
+        "--model", "resnet9-5k", "--num-epochs", "1", "--batch-size", "8",
+        "--no-robust", "--experiments-root", str(tmp_path / "exp"),
+        "--compute-dtype", "bfloat16", "--steps-per-dispatch", "2",
+        "--n-devices", "2", "--eval-batch-size", "16",
+    ])
+    import glob
+
+    runs = glob.glob(str(tmp_path / "exp" / "*"))
+    assert len(runs) == 1 and os.path.exists(
+        os.path.join(runs[0], "model.msgpack")
+    )
