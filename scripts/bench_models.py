@@ -162,6 +162,41 @@ def bench_config(name, model_name, dataset, method, batch, windows):
     return row
 
 
+def bench_inference(batch, windows):
+    """Serving-path forward throughput: jitted softmax forward on the
+    flagship 1-D ResNet9 (pcgmix_tpu/serve.py Classifier._forward)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pcgmix_tpu.models import build_model
+
+    model = build_model("resnet9", train=False, compute_dtype=jnp.bfloat16)
+    x = jnp.zeros((batch, 4, 2500), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(4), x[:1])
+
+    @jax.jit
+    def forward(data):
+        out = model.apply(variables, data)
+        return jax.nn.softmax(out, axis=1)
+
+    jax.block_until_ready(forward(x))
+    _log(f"inference b{batch}: compiled")
+    rates = []
+    reps = 20
+    for rep in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            r = forward(x)
+        jax.block_until_ready(r)
+        dt = time.perf_counter() - t0
+        rates.append(reps * batch / dt)
+        _log(f"inference b{batch} window {rep + 1}/{windows}: "
+             f"{rates[-1]:.0f} samples/s")
+    med = statistics.median(rates)
+    spread = (max(rates) - min(rates)) / med if med else 0.0
+    return {"sps": round(med, 1), "spread_pct": round(100 * spread, 1)}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--windows", type=int, default=3)
@@ -185,6 +220,7 @@ def main():
         "ResNet9-2D", "resnet9", "PhysioNet(spec128)", "durratiomixup", 64,
         args.windows,
     )
+    out["resnet9_1d_inference_b256"] = bench_inference(256, args.windows)
     print(json.dumps(out, indent=2))
 
 
