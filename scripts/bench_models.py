@@ -66,6 +66,9 @@ def bench_config(name, model_name, dataset, method, batch, windows):
         example = jnp.zeros((1, 1, size, size), jnp.float32)
     else:
         sig_len = 2500
+        # cap the resident corpus under the tunnel's constant-upload limit
+        # (~150 MB); batches cycle over it
+        n_wavs = min(n_wavs, 400)
         d = synthetic_physionet_dict(
             num_wavs_train=n_wavs, num_wavs_test=2, segments_per_wav=8,
             sig_len=sig_len, seed=0,
@@ -200,6 +203,9 @@ def bench_inference(batch, windows):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--windows", type=int, default=3)
+    ap.add_argument("--batch-sweep", action="store_true",
+                    help="instead of the model rows, sweep ResNet9 1-D "
+                         "batch sizes (128, 256) for the scaling curve")
     args = ap.parse_args()
 
     import jax
@@ -212,6 +218,14 @@ def main():
 
     out = {"device": jax.devices()[0].device_kind, "batch": 64,
            "measure_steps": MEASURE_STEPS, "windows": args.windows}
+    if args.batch_sweep:
+        for b in (128, 256):
+            out[f"resnet9_1d_durmixmagwarp_b{b}"] = bench_config(
+                f"ResNet9-b{b}", "resnet9", "PhysioNet",
+                "durmixmagwarp(0.2,4)", b, args.windows,
+            )
+        print(json.dumps(out, indent=2))
+        return
     out["potes_1d_durmixmagwarp"] = bench_config(
         "Potes", "Potes", "PhysioNet", "durmixmagwarp(0.2,4)", 64,
         args.windows,

@@ -73,3 +73,16 @@ def test_2d_salopt_flow(tmp_path):
     cfg.save_artifacts = False
     perf = train_model(cfg, ds, saliency_model_provider=provider)
     assert np.isfinite(perf["train_loss"]).all()
+
+
+def test_2d_latentmixup_training():
+    """2-D latentmixup: random-depth split forward on ResNet9-2D
+    (augmentations2d.py:510-537; depth ~ randint(1,3) for resnet9)."""
+    ds = synthetic_spectrogram_dict(num_wavs_train=12, num_wavs_test=4, size=32)
+    cfg = TrainConfig(
+        dataset="PhysioNet(spec128)", model="resnet9", method="latentmixup",
+        num_epochs=2, batch_size=8, save_artifacts=False,
+        loader_parity="numpy",
+    )
+    perf = train_model(cfg, ds)
+    assert np.isfinite(perf["train_loss"]).all()
