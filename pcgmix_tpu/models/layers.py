@@ -138,7 +138,13 @@ class BatchNorm(nn.Module):
 
 
 def max_pool_1d(x, window: int):
-    """torch MaxPool1d(window): stride=window, floor division of length."""
+    """torch MaxPool1d(window): stride=window, floor division of length.
+
+    Kept as reduce-window pooling: its select_and_scatter backward is ~9% of
+    train-step device time (BENCH.md), but the reshape+axis-max alternative
+    measured 20-25% SLOWER end-to-end on TPU — splitting the sublane (T)
+    dimension forces relayout copies that cost more than the backward saves.
+    """
     t = x.shape[1]
     x = x[:, : (t // window) * window]
     return nn.max_pool(x, (window,), strides=(window,), padding="VALID")

@@ -95,3 +95,33 @@ def test_latent_space_part():
     variables = model.init(KEY, x)
     emb = model.apply(variables, x, part="latent_space", mutable=["batch_stats"])[0]
     assert emb.shape == (2, 128)
+
+
+def test_max_pool_matches_reduce_window_contract():
+    """Whatever their implementation (reduce-window today; a reshape-max
+    variant measured slower on TPU, see layers.py), max_pool_1d/2d must stay
+    bit-identical to torch-style reduce-window pooling incl. truncation."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from pcgmix_tpu.models.layers import max_pool_1d, max_pool_2d
+
+    rng = np.random.default_rng(0)
+    x1 = jnp.asarray(rng.normal(size=(3, 101, 5)).astype(np.float32))
+    for w in (2, 4):
+        ref = nn.max_pool(
+            x1[:, : (x1.shape[1] // w) * w], (w,), strides=(w,), padding="VALID"
+        )
+        np.testing.assert_array_equal(np.asarray(max_pool_1d(x1, w)), np.asarray(ref))
+    x2 = jnp.asarray(rng.normal(size=(2, 33, 33, 4)).astype(np.float32))
+    for w in (2, 4):
+        n = (33 // w) * w
+        ref = nn.max_pool(
+            x2[:, :n, :n], (w, w), strides=(w, w), padding="VALID"
+        )
+        np.testing.assert_array_equal(np.asarray(max_pool_2d(x2, w)), np.asarray(ref))
+    # gradient flows to exactly one element per window
+    g = jax.grad(lambda y: max_pool_1d(y, 2).sum())(x1)
+    per_window = np.asarray(g)[:, :100].reshape(3, 50, 2, 5).sum(axis=2)
+    np.testing.assert_array_equal(per_window, np.ones_like(per_window))

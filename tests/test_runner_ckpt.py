@@ -93,3 +93,19 @@ def test_runner_cli_fast_config_flags(tmp_path):
     assert len(runs) == 1 and os.path.exists(
         os.path.join(runs[0], "model.msgpack")
     )
+
+
+def test_checkpoint_resume_under_dp_mesh(tmp_path):
+    """Orbax full-state checkpointing and resume with the data-parallel
+    mesh active (replicated state must save and restore cleanly)."""
+    cfg = _base(tmp_path)
+    cfg.num_epochs = 2
+    cfg.checkpoint_every = 1
+    cfg.n_devices = 2
+    cfg.method = "durratiomixup"
+    perf1 = train_model(cfg, DS)
+    assert np.isfinite(perf1["train_loss"]).all()
+    ckdir = os.path.join(experiment_dir(cfg), "checkpoints")
+    assert os.path.isdir(ckdir)
+    perf2 = train_model(cfg, DS, progress=False)
+    assert perf2["train_loss"] == []  # resumed past the last epoch
