@@ -543,16 +543,20 @@ class AugmentEngine:
         n_per_class = [len(ix) for ix in idx_by_class]
         idx1, idx2 = [], []
         for c in range(self.cfg.num_classes):
-            idx1.append(
-                _random.Random(step * 131071 + 178397654).choices(
-                    idx_by_class[c], k=len(idx_by_class[c]) * mult
-                )
+            drawn1 = _random.Random(step * 131071 + 178397654).choices(
+                idx_by_class[c], k=len(idx_by_class[c]) * mult
             )
-            idx2.append(
-                _random.Random(step * 8191 + 99999).choices(
-                    idx_by_class[c], k=len(idx_by_class[c]) * mult
-                )
+            # reference quirk (augmentations.py:1237-1239): label_indices1[i]
+            # is REASSIGNED before the second k is computed, so the partner
+            # draw is mult× longer per class (16n, not 4n).  zip() below then
+            # truncates, which pairs every class-1 candidate with a partner
+            # from class 0's oversized block — cross-class splices by
+            # accident.  Reproduced bit-exactly; see PARITY.md.
+            drawn2 = _random.Random(step * 8191 + 99999).choices(
+                idx_by_class[c], k=len(drawn1) * mult
             )
+            idx1.append(drawn1)
+            idx2.append(drawn2)
         flat1 = [i for sub in idx1 for i in sub]
         flat2 = [i for sub in idx2 for i in sub]
         both = list(zip(flat1, flat2))

@@ -357,6 +357,99 @@ def test_salopt_dispatch_matches_reference(ref, method):
         np.testing.assert_allclose(np.asarray(t2), r_t, rtol=1e-6, atol=1e-7)
 
 
+def test_saliency_cutmix_dispatch_matches_reference(ref):
+    """The saliency-cutmix bin-splice assembly (augmentations.py:1396-1470):
+    quasi-λ bin threshold, S1/S2 most-salient-source rule, concat order,
+    per-sample λ target blend — with identical synthetic bin values/frames
+    injected on both sides (reference: stubbed saliency.saliency_map; ours:
+    the engine's saliency_bins_fn hook)."""
+    data, frames, labels, wavs, cvds = _batch(seed=41)
+    rng = np.random.default_rng(7)
+    nb = 14  # S1:1 + sys:4 + S2:1 + dia:8 (saliency.py:118-130)
+    bin_values = rng.uniform(0.0, 1.0, size=(B, nb))
+    bin_frames = np.zeros((B, nb + 1), np.int64)
+    for i in range(B):
+        f = frames[i]
+        # boundaries: [f0, f1] S1, 4 splits of [f1,f2], [f2,f3] S2, 8 of [f3,f4]
+        bounds = np.concatenate([
+            [f[0], f[1]],
+            np.linspace(f[1], f[2], 5).astype(np.int64)[1:],
+            [f[3]],
+            np.linspace(f[3], f[4], 9).astype(np.int64)[1:],
+        ])
+        bin_frames[i] = bounds
+    ref.saliency.saliency_map = lambda *a, **k: (
+        None, None, None, np.array(bin_values, copy=True),
+        np.array(bin_frames, copy=True),
+    )
+    eng_kw = dict(batch_size=B, num_channels=C, sig_len=T, model="resnet9")
+    for step in STEPS:
+        r_out, r_t, _, _ = run_reference(
+            ref, "saliency-cutmix", data, frames, labels, wavs, step
+        )
+        eng = AugmentEngine(AugmentConfig(method="saliency-cutmix", **eng_kw))
+        plan = eng.plan(
+            step, frames, labels, wavs,
+            saliency_bins_fn=lambda: (
+                np.array(bin_values, copy=True), np.array(bin_frames, copy=True)
+            ),
+        )
+        tohe = np.eye(2, dtype=np.float32)[labels]
+        out, t2 = eng.apply(jnp.asarray(data), jnp.asarray(tohe), plan.arrays)
+        np.testing.assert_allclose(
+            np.asarray(out), r_out, rtol=1e-5, atol=1e-6,
+            err_msg=f"saliency-cutmix step {step} data",
+        )
+        np.testing.assert_allclose(np.asarray(t2), r_t, rtol=1e-6, atol=1e-7)
+
+
+def test_lc_nointrusion_dispatch_matches_reference(ref):
+    """lc-nointrusion (augmentations.py:1215-1283): 4x candidate-pool
+    construction (the three-seed choices/shuffle protocol), cutmix splice,
+    and lowest-loss-per-class selection — with an identical deterministic
+    scorer injected on both sides (reference: stubbed saliency.saliency_map
+    logits + train_model.custom_loss; ours: the same scorer applied to the
+    engine's candidate pool before lc_select)."""
+    data, frames, labels, wavs, cvds = _batch(seed=47)
+
+    def logits_of(batch_np):
+        m = batch_np.mean(axis=(1, 2))
+        s = batch_np.std(axis=(1, 2))
+        return np.stack([m, s], axis=1)
+
+    def losses_of(out_np, tohe_np):
+        return -np.sum(out_np * tohe_np, axis=1)
+
+    ref.saliency.saliency_map = lambda d, t, f, m, dev, *a, **k: (
+        None, None, logits_of(np.asarray(d.detach())), None, None
+    )
+    ref.train_model.custom_loss = lambda out, tohe: (
+        None, None, None,
+        losses_of(np.asarray(out), np.asarray(tohe.detach())),
+    )
+    for step in STEPS:
+        r_out, r_t, _, _ = run_reference(
+            ref, "lc-nointrusion", data, frames, labels, wavs, step
+        )
+        eng = AugmentEngine(AugmentConfig(
+            method="lc-nointrusion", batch_size=B, num_channels=C, sig_len=T,
+            model="resnet9",
+        ))
+        plan = eng.plan(step, frames, labels, wavs)
+        tohe = np.eye(2, dtype=np.float32)[labels]
+        cands, cand_t = eng.apply(jnp.asarray(data), jnp.asarray(tohe), plan.arrays)
+        cands, cand_t = np.asarray(cands), np.asarray(cand_t)
+        losses = losses_of(logits_of(cands), cand_t)
+        sel = eng.lc_select(
+            losses, plan.aux["cand_labels"], plan.aux["n_per_class"]
+        )
+        np.testing.assert_allclose(
+            cands[sel], r_out, rtol=1e-5, atol=1e-6,
+            err_msg=f"lc-nointrusion step {step} data",
+        )
+        np.testing.assert_allclose(cand_t[sel], r_t, rtol=1e-6, atol=1e-7)
+
+
 def test_pair_selectors_match_reference(ref):
     """Direct comparison of every pair-selector function
     (augmentations.py:500-653) against pcgmix_tpu.augment.pairing."""
