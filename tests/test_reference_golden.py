@@ -257,6 +257,69 @@ def test_dispatch_matches_reference(ref, method):
             )
 
 
+def test_keepdur_kernel_fuzz_vs_reference(ref):
+    """Seeded fuzz: 24 random (shape, frames-geometry, pair, seed) configs
+    through mixup_keepdur_multidim_tensors / cutmix_keepdur, including edge
+    geometries the fixed-shape tests don't hit — zero-length segments,
+    single-sample segments, heartbeats ending exactly at T."""
+    rng = np.random.default_rng(2024)
+    for trial in range(24):
+        c = int(rng.integers(1, 6))
+        t = int(rng.integers(64, 512))
+        rand_tag = "(rand)" if trial % 3 == 0 else ""
+        # segment lengths: allow 0-length and 1-length segments; occasionally
+        # force the heartbeat to end exactly at T
+        def mk_frames():
+            lens = rng.integers(0, max(2, t // 4), size=4)
+            f = np.concatenate([[0], np.cumsum(lens)])
+            f = np.minimum(f, t)
+            if rng.random() < 0.3:
+                scale = t / max(f[-1], 1)
+                f = np.minimum((f * scale).astype(np.int64), t)
+                f.sort()
+            return f.astype(np.int64)
+
+        f1, f2 = mk_frames(), mk_frames()
+        d1 = rng.normal(size=(c, t)).astype(np.float32)
+        d2 = rng.normal(size=(c, t)).astype(np.float32)
+        seed = int(rng.integers(0, 10_000))
+        for base, method in [("durratiomixup", f"{rand_tag}durratiomixup"),
+                             ("durratiocutmix", f"{rand_tag}durratiocutmix")]:
+            eng = AugmentEngine(AugmentConfig(
+                method=method, batch_size=2, num_channels=c, sig_len=t,
+                model="resnet9",
+            ))
+            frames = np.stack([f1, f2])
+            labels = np.zeros(2, np.int64)
+            mix = np.array([1, 0])
+            if base == "durratiomixup":
+                lam = ref.get_lambda(alpha=1, random_seed=seed)
+                r = ref.mixup_keepdur_multidim_tensors(
+                    torch.from_numpy(d1.copy()), torch.from_numpy(d2.copy()),
+                    f1, f2, torch.tensor(np.float32(lam))[None, None],
+                    method, seed,
+                )
+                plan = eng._plan_keepdur_blend(
+                    seed, frames, labels, lambda: (mix, None), None
+                )
+            else:
+                r = ref.cutmix_keepdur_multidim_tensors(
+                    torch.from_numpy(d1.copy()), torch.from_numpy(d2.copy()),
+                    f1, f2, method, seed,
+                )
+                plan = eng._plan_keepdur_cut(seed, frames, lambda: (mix, None))
+            out, _ = eng.apply(
+                jnp.asarray(np.stack([d1, d2])),
+                jnp.asarray(np.eye(2, dtype=np.float32)[labels]),
+                plan.arrays,
+            )
+            np.testing.assert_allclose(
+                np.asarray(out[0]), np.asarray(r), rtol=1e-5, atol=1e-6,
+                err_msg=f"trial {trial} {method} c={c} t={t} f1={f1} f2={f2} "
+                        f"seed={seed}",
+            )
+
+
 def test_reference_cutmix_ch_is_broken(ref):
     """The reference's 1-D 'cutmix(ch)' branch mutates the batch in place and
     then returns the UNBOUND 'data_new' (augmentations.py:1536-1547, :1567) —
