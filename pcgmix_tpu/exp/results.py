@@ -114,3 +114,48 @@ def read_experiments_all_dataseeds(
             out.std.append(float(np.std(accs)))
             out.num_runs.append(len(accs))
     return out
+
+
+def main(argv=None):
+    """Results-table CLI: the reference's results notebook flow
+    (results_final_full.ipynb cells 4/17) as one command.
+
+        pcgmix-results --experiments-root experiments \\
+            --methods base durratiomixup "durmixmagwarp(0.2,4)" \\
+            --n-fractions 0.1 1.0 --metric Accuracy
+    """
+    import argparse
+
+    from pcgmix_tpu.train import TrainConfig
+
+    ap = argparse.ArgumentParser(
+        description="Aggregate finished runs into the paper's grid tables"
+    )
+    ap.add_argument("--experiments-root", default="experiments")
+    ap.add_argument("--dataset", default="PhysioNet")
+    ap.add_argument("--model", default="resnet9")
+    ap.add_argument("--methods", nargs="+", required=True)
+    ap.add_argument("--n-fractions", nargs="+", type=float, default=[1.0])
+    ap.add_argument("--metric", default="Accuracy",
+                    choices=sorted(_METRIC_KEYS))
+    ap.add_argument("--num-epochs", type=int, default=50)
+    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--lr-max", type=float, default=0.01)
+    ap.add_argument("--op", default="adam")
+    ap.add_argument("--num-channels", type=int, default=4)
+    ap.add_argument("--valid", action="store_true")
+    args = ap.parse_args(argv)
+
+    cfg = TrainConfig(
+        dataset=args.dataset, model=args.model, num_epochs=args.num_epochs,
+        batch_size=args.batch_size, lr_max=args.lr_max, op=args.op,
+        num_channels=args.num_channels, valid=args.valid,
+        experiments_root=args.experiments_root,
+    )
+    table = results_table(cfg, args.methods, args.n_fractions, args.metric)
+    print(table.to_string(index=False))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

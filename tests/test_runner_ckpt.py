@@ -109,3 +109,26 @@ def test_checkpoint_resume_under_dp_mesh(tmp_path):
     assert os.path.isdir(ckdir)
     perf2 = train_model(cfg, DS, progress=False)
     assert perf2["train_loss"] == []  # resumed past the last epoch
+
+
+def test_results_cli_reads_grid(tmp_path, capsys):
+    """pcgmix-results aggregates finished runner dirs into the paper-style
+    mean±SD grid table (results_final_full.ipynb cells 4/17 flow)."""
+    from pcgmix_tpu import utils
+    from pcgmix_tpu.exp.results import main as res_main
+    from pcgmix_tpu.exp.runner import main as run_main
+
+    dat = tmp_path / "p.dat"
+    utils.dict2file(DS, str(dat))
+    run_main([
+        "--dataset-file", str(dat), "--methods", "base", "--n-fractions",
+        "1.0", "--seeds", "1", "2", "--model", "resnet9-5k", "--num-epochs",
+        "1", "--batch-size", "8", "--experiments-root", str(tmp_path / "exp"),
+    ])
+    res_main([
+        "--experiments-root", str(tmp_path / "exp"), "--model", "resnet9-5k",
+        "--methods", "base", "--n-fractions", "1.0", "--num-epochs", "1",
+        "--batch-size", "8",
+    ])
+    out = capsys.readouterr().out
+    assert "base" in out and "±" in out and "1.0" in out
