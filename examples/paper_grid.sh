@@ -2,13 +2,23 @@
 # The paper's headline PhysioNet time-series grid (BASELINE.md tables),
 # production fast config.  Robust '+cp' schedules are applied automatically;
 # finished runs are skipped on re-run; read the tables with pcgmix-results.
+#
+# Seed protocol (read_experiments.py:20-59): n_fractions below 1.0 average
+# over their seed_data grids with test seed 1 only; n_fraction 1.0 uses one
+# seed_data with test seeds 1-5.
 set -e
 DAT=${1:?usage: paper_grid.sh physionet.dat}
 
-pcgmix-run --dataset-file "$DAT" \
-  --model resnet9 \
+pcgmix-run --dataset-file "$DAT" --model resnet9 \
   --methods base durratiomixup "durmixmagwarp(0.2,4)" \
-  --n-fractions 0.015 0.052 0.1 0.2 0.3 0.4 0.6 0.8 1.0 \
+  --n-fractions 0.015 0.052 0.1 0.2 0.3 0.4 0.6 0.8 \
+  --seeds 1 \
+  --num-epochs 50 --batch-size 64 \
+  --compute-dtype bfloat16 --steps-per-dispatch 8
+
+pcgmix-run --dataset-file "$DAT" --model resnet9 \
+  --methods base durratiomixup "durmixmagwarp(0.2,4)" \
+  --n-fractions 1.0 \
   --seeds 1 2 3 4 5 \
   --num-epochs 50 --batch-size 64 \
   --compute-dtype bfloat16 --steps-per-dispatch 8

@@ -59,17 +59,40 @@ def main(argv=None) -> int:
 
     os.makedirs(args.out_dir, exist_ok=True)
     feats_path = os.path.join(args.out_dir, "features.csv")
+    partial_path = os.path.join(args.out_dir, "features.partial.csv")
     if os.path.exists(feats_path):
         print(f"resume: loading existing {feats_path}", file=sys.stderr)
         feats = pd.read_csv(feats_path)
     else:
+        if os.path.exists(partial_path) and not args.start_counter:
+            # a crashed extraction left a mid-run checkpoint; make the
+            # restart protocol (classical.py:71) explicit instead of
+            # silently benchmarking a truncated feature set
+            n = sum(1 for _ in open(partial_path)) - 1
+            raise SystemExit(
+                f"{partial_path} holds a partial extraction ({n} segments). "
+                f"Re-run with --start-counter to resume past it, or delete "
+                f"it to start over."
+            )
+        prev = (
+            pd.read_csv(partial_path)
+            if args.start_counter and os.path.exists(partial_path) else None
+        )
         dataset = utils.file2dict(args.dataset_file)
         splits = [s for s in ("train", "test") if s in dataset]
         feats = extract_features(
             dataset, splits=splits, band=args.band,
             start_counter=args.start_counter, skip=args.skip,
-            save_path=feats_path,
+            save_path=partial_path,
         )
+        if prev is not None:
+            done = prev[~prev.set_index(["wav", "segment", "split"]).index.isin(
+                feats.set_index(["wav", "segment", "split"]).index
+            )]
+            feats = pd.concat([done, feats], ignore_index=True)
+        feats.to_csv(feats_path, index=False)
+        if os.path.exists(partial_path):
+            os.remove(partial_path)
     print(f"{len(feats)} segments x {len(feats.columns)} columns",
           file=sys.stderr)
 

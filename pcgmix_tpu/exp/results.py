@@ -51,6 +51,7 @@ def results_table(
     methods: Sequence[str],
     n_fractions: Sequence[float],
     metric: str = "Accuracy",
+    robust: bool = True,
 ):
     """Aggregate grid table: one 'mean±SD' column per method, one row per
     n_fraction — the layout of the paper's headline tables
@@ -61,7 +62,7 @@ def results_table(
     for method in methods:
         run = copy.deepcopy(cfg)
         run.method = method
-        res = read_experiments_all_dataseeds(run, n_fractions, metric)
+        res = read_experiments_all_dataseeds(run, n_fractions, metric, robust=robust)
         col = []
         for nf in n_fractions:
             if nf in res.n_fractions:
@@ -77,19 +78,27 @@ def read_experiments_all_dataseeds(
     cfg,
     n_fractions: Sequence[float],
     metric: str = "Accuracy",
+    robust: bool = True,
 ) -> GridResult:
     """Aggregate a method's published-grid results (read_experiments.py:10-107).
 
     cfg is a TrainConfig-like template; its seed_data/seed/n_fraction/method
-    fields are varied over the grid; the robust '+cp' schedule is applied per
-    n_fraction exactly as the reference's reader does (read_experiments.py:66).
+    fields are varied over the grid; with ``robust`` (default) the '+cp'
+    schedule is applied per n_fraction exactly as the reference's reader does
+    (read_experiments.py:66) — pass robust=False to read dirs produced by
+    ``pcgmix-run --no-robust``.  An n_fraction outside the published grids
+    falls back to the template's own seed_data (mirroring run_grid), so
+    custom runs aggregate instead of raising.
     """
     key, scale = _METRIC_KEYS[metric]
     spect = cfg.dataset == "PhysioNet(spec128)"
     out = GridResult([], [], [], [], [], [])
     for n_frac in n_fractions:
-        grid_1d, grid_2d = SEED_DATA_GRIDS[n_frac]
-        seed_datas = grid_2d if spect else grid_1d
+        if n_frac in SEED_DATA_GRIDS:
+            grid_1d, grid_2d = SEED_DATA_GRIDS[n_frac]
+            seed_datas = grid_2d if spect else grid_1d
+        else:
+            seed_datas = [cfg.seed_data]
         if n_frac == 1.0:
             seeds = [1, 2, 3] if spect else [1, 2, 3, 4, 5]
         else:
@@ -99,7 +108,8 @@ def read_experiments_all_dataseeds(
             run = copy.deepcopy(cfg)
             run.n_fraction = n_frac
             run.seed_data = seed_data
-            run = hyperparameters_robust(run)
+            if robust:
+                run = hyperparameters_robust(run)
             for seed in seeds:
                 run.seed = seed
                 if not experiment_already_done(run):
@@ -144,6 +154,9 @@ def main(argv=None):
     ap.add_argument("--op", default="adam")
     ap.add_argument("--num-channels", type=int, default=4)
     ap.add_argument("--valid", action="store_true")
+    ap.add_argument("--no-robust", action="store_true",
+                    help="read dirs produced by pcgmix-run --no-robust "
+                         "(no '+cp' method rewrite)")
     args = ap.parse_args(argv)
 
     cfg = TrainConfig(
@@ -152,7 +165,8 @@ def main(argv=None):
         num_channels=args.num_channels, valid=args.valid,
         experiments_root=args.experiments_root,
     )
-    table = results_table(cfg, args.methods, args.n_fractions, args.metric)
+    table = results_table(cfg, args.methods, args.n_fractions, args.metric,
+                          robust=not args.no_robust)
     print(table.to_string(index=False))
     return 0
 

@@ -105,8 +105,10 @@ def piecewise_mix_pairs_pallas(
         grid_spec=grid_spec,
         interpret=interpret,
     )(
+        # alpha stays fp32 even for bf16 batches: in-kernel `a*d1` promotes
+        # the blend to fp32, and the out_ref write casts back
         i32(idx1), i32(idx2), i32(dst_start), i32(src_start), i32(length),
-        i32(src_sel), jnp.asarray(alpha, data.dtype), data, data,
+        i32(src_sel), jnp.asarray(alpha, jnp.float32), data, data,
     )
 
 
@@ -184,9 +186,9 @@ def pcgmix_plus_fused_pallas(
     cpad = (-C) % 8
     tpad = (-T) % 128
     kpad = (-K2) % 8
-    basis = np.asarray(
-        cubic_spline_basis(T, K2 - 2), dtype=data.dtype
-    )
+    # basis/knots stay fp32 even for bf16 batches — the spline product runs
+    # in fp32 on the MXU and only the out_ref write casts down
+    basis = np.asarray(cubic_spline_basis(T, K2 - 2), dtype=np.float32)
     if cpad or tpad or kpad:
         padded = jnp.pad(data, ((0, 0), (0, cpad), (0, tpad)))
         knots_p = jnp.pad(knots, ((0, 0), (0, kpad), (0, cpad)))
@@ -232,6 +234,6 @@ def _fused_call(data, mix, dst, src, length, sel, alpha, knots, basis,
         interpret=interpret,
     )(
         i32(mix), i32(dst), i32(src), i32(length), i32(sel),
-        jnp.asarray(alpha, data.dtype), data, data,
-        jnp.asarray(knots, data.dtype), basis,
+        jnp.asarray(alpha, jnp.float32), data, data,
+        jnp.asarray(knots, jnp.float32), jnp.asarray(basis, jnp.float32),
     )

@@ -115,8 +115,12 @@ def bench_config(name, model_name, dataset, method, batch, windows):
             epoch += 1
 
     def run_steps(n, start, scan_k):
+        """Returns the number of steps actually DISPATCHED — with scan_k>1 a
+        trailing partial chunk is planned but never executed, and must not be
+        counted in the throughput rate."""
         nonlocal state
         count = 0
+        executed = 0
         buf_i, buf_p, buf_s = [], [], []
         for b in batches(start, n):
             sc = start + count
@@ -135,15 +139,17 @@ def bench_config(name, model_name, dataset, method, batch, windows):
                     state, _ = multi(state, jnp.asarray(np.stack(buf_i)),
                                      stacked, jnp.asarray(buf_s), 1, key)
                     buf_i, buf_p, buf_s = [], [], []
+                    executed += scan_k
             else:
                 plan = engine.plan(sc, b["frames"], b["label"], b["wav"])
                 state, _ = step(state, {"indices": jnp.asarray(b["indices"])},
                                 plan.arrays, 1, jax.random.fold_in(key, sc))
+                executed += 1
             count += 1
             if count >= n:
                 break
         jax.block_until_ready(state.params)
-        return count
+        return executed
 
     row = {}
     for scan_k in (1, SCAN_K):

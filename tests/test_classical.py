@@ -149,3 +149,33 @@ def test_cli_end_to_end(tmp_path):
     assert main(["--dataset-file", str(dat), "--out-dir", str(out),
                  "--kb-num", "10"]) == 0
     assert (pd.read_csv(out / "features.csv")["BPM"] == 0).all()
+
+
+def test_cli_partial_checkpoint_requires_explicit_resume(tmp_path):
+    """A crashed extraction's features.partial.csv must not be silently
+    benchmarked; the CLI demands --start-counter (or deletion)."""
+    from pcgmix_tpu import utils
+    from pcgmix_tpu.classical.__main__ import main
+
+    ds = synthetic_physionet_dict(
+        num_wavs_train=4, num_wavs_test=2, segments_per_wav=2, sig_len=600,
+        seed=5,
+    )
+    dat = tmp_path / "d.dat"
+    out = tmp_path / "out"
+    out.mkdir()
+    utils.dict2file(ds, str(dat))
+    wav0 = ds["train"]["wav"][0]
+    (out / "features.partial.csv").write_text(
+        f"BPM,wav,segment,split\n1.0,{wav0},0,train\n"
+    )
+    with pytest.raises(SystemExit, match="partial extraction"):
+        main(["--dataset-file", str(dat), "--out-dir", str(out)])
+    # resuming from the counter merges (the stale duplicate row is replaced
+    # by the re-extracted one) and completes
+    assert main(["--dataset-file", str(dat), "--out-dir", str(out),
+                 "--start-counter", "1", "--kb-num", "5"]) == 0
+    feats = pd.read_csv(out / "features.csv")
+    assert ((feats["wav"] == wav0) & (feats["segment"] == 0)
+            & (feats["split"] == "train")).sum() == 1
+    assert not (out / "features.partial.csv").exists()

@@ -132,3 +132,27 @@ def test_results_cli_reads_grid(tmp_path, capsys):
     ])
     out = capsys.readouterr().out
     assert "base" in out and "±" in out and "1.0" in out
+
+
+def test_results_cli_nonpublished_nfrac_and_no_robust(tmp_path, capsys):
+    """Custom n_fractions (outside the published seed_data grids) and
+    --no-robust runs must aggregate instead of raising / reading nothing."""
+    from pcgmix_tpu import utils
+    from pcgmix_tpu.exp.results import main as res_main
+    from pcgmix_tpu.exp.runner import main as run_main
+
+    dat = tmp_path / "p.dat"
+    utils.dict2file(DS, str(dat))
+    run_main([
+        "--dataset-file", str(dat), "--methods", "durratiomixup",
+        "--n-fractions", "0.5", "--seeds", "1", "--model", "resnet9-5k",
+        "--num-epochs", "1", "--batch-size", "8", "--no-robust",
+        "--experiments-root", str(tmp_path / "exp"),
+    ])
+    res_main([
+        "--experiments-root", str(tmp_path / "exp"), "--model", "resnet9-5k",
+        "--methods", "durratiomixup", "--n-fractions", "0.5",
+        "--num-epochs", "1", "--batch-size", "8", "--no-robust",
+    ])
+    out = capsys.readouterr().out
+    assert "±" in out and "—" not in out.split("\n")[1]
