@@ -420,6 +420,57 @@ def test_salopt_dispatch_matches_reference(ref, method):
         np.testing.assert_allclose(np.asarray(t2), r_t, rtol=1e-6, atol=1e-7)
 
 
+def test_latentmixup_dispatch_matches_reference(ref):
+    """latentmixup (augmentations.py:1472-1506): the depth draw
+    (randint(1, 3) for resnet9), the split-forward hook, and the latent
+    blend — with an identical deterministic 'model' on both sides
+    (reference: a callable; ours: the same transform applied to the batch
+    before engine.apply, as the trainer's part='first' pass does)."""
+    data, frames, labels, wavs, cvds = _batch(seed=53)
+
+    def fake_first(x_np, depth):
+        return (x_np * (depth + 0.5)).astype(np.float32)
+
+    def ref_model(d, depth=None, pass_part=None):
+        assert pass_part == "first"
+        return torch.from_numpy(fake_first(np.asarray(d.detach()), depth))
+
+    args = types.SimpleNamespace(
+        method="latentmixup", sample_rate=1000, batch_size=B, num_classes=2,
+        dataset="PhysioNet", model="resnet9",
+    )
+    for step in STEPS:
+        result = ref.augment(
+            args,
+            torch.from_numpy(data.copy()),
+            torch.from_numpy(np.eye(2, dtype=np.float32)[labels]),
+            torch.from_numpy(frames.copy()),
+            list(wavs),
+            types.SimpleNamespace(count=step),
+            ref_model,
+            torch.device("cpu"),
+            ref._results_dir,
+        )
+        r_out, r_t, r_mix = (np.asarray(result[0].detach()),
+                             np.asarray(result[1].detach()),
+                             np.asarray(result[2]))
+        eng = AugmentEngine(AugmentConfig(
+            method="latentmixup", batch_size=B, num_channels=C, sig_len=T,
+            model="resnet9",
+        ))
+        plan = eng.plan(step, frames, labels, wavs)
+        assert plan.latent_depth == args.depth, f"depth draw at step {step}"
+        latent = fake_first(data, plan.latent_depth)
+        tohe = np.eye(2, dtype=np.float32)[labels]
+        out, t2 = eng.apply(jnp.asarray(latent), jnp.asarray(tohe), plan.arrays)
+        np.testing.assert_array_equal(plan.mix_indices, r_mix)
+        np.testing.assert_allclose(
+            np.asarray(out), r_out, rtol=1e-6, atol=1e-7,
+            err_msg=f"latentmixup step {step}",
+        )
+        np.testing.assert_allclose(np.asarray(t2), r_t, rtol=1e-6, atol=1e-7)
+
+
 def test_saliency_cutmix_dispatch_matches_reference(ref):
     """The saliency-cutmix bin-splice assembly (augmentations.py:1396-1470):
     quasi-λ bin threshold, S1/S2 most-salient-source rule, concat order,

@@ -266,3 +266,56 @@ def test_2d_keepdur_kernel_matches_reference_directly(ref2d):
             np.asarray(out[i]), np.asarray(r), rtol=1e-5, atol=1e-6,
             err_msg=f"2-D keepdur blend pair ({i},{j}) seed {seed}",
         )
+
+
+def test_2d_latentmixup_dispatch_matches_reference(ref2d):
+    """2-D latentmixup (augmentations2d.py:510-537): depth draw
+    randint(1, 3) for resnet9, split-forward hook, latent blend — identical
+    deterministic 'model' on both sides."""
+    import types as _types
+
+    data, frames, labels, wavs, _ = _batch2d(seed=59)
+
+    def fake_first(x_np, depth):
+        return (x_np * (depth + 0.5)).astype(np.float32)
+
+    def ref_model(d, depth=None, pass_part=None):
+        assert pass_part == "first"
+        return torch.from_numpy(fake_first(np.asarray(d.detach()), depth))
+
+    args = _types.SimpleNamespace(
+        method="latentmixup", batch_size=B, num_classes=2,
+        dataset="PhysioNet(spec128)", model="resnet9",
+    )
+    from pcgmix_tpu.augment.engine import AugmentConfig, AugmentEngine
+
+    for step in STEPS:
+        result = ref2d.augment(
+            args,
+            torch.from_numpy(data.copy()),
+            torch.from_numpy(np.eye(2, dtype=np.float32)[labels]),
+            torch.from_numpy(frames.copy()),
+            [f"a{i:04d}_0" for i in range(B)],
+            _types.SimpleNamespace(count=step),
+            ref_model,
+            torch.device("cpu"),
+            None,
+        )
+        r_out, r_t, r_mix = (np.asarray(result[0].detach()),
+                             np.asarray(result[1].detach()),
+                             np.asarray(result[2]))
+        eng = AugmentEngine(AugmentConfig(
+            method="latentmixup", batch_size=B, num_channels=C, sig_len=T,
+            spec_freq=F, spectrogram=True, model="resnet9",
+        ))
+        plan = eng.plan(step, frames, labels, wavs)
+        assert plan.latent_depth == args.depth, f"depth draw at step {step}"
+        latent = fake_first(data, plan.latent_depth)
+        tohe = np.eye(2, dtype=np.float32)[labels]
+        out, t2 = eng.apply(jnp.asarray(latent), jnp.asarray(tohe), plan.arrays)
+        np.testing.assert_array_equal(plan.mix_indices, r_mix)
+        np.testing.assert_allclose(
+            np.asarray(out), r_out, rtol=1e-6, atol=1e-7,
+            err_msg=f"2-D latentmixup step {step}",
+        )
+        np.testing.assert_allclose(np.asarray(t2), r_t, rtol=1e-6, atol=1e-7)
