@@ -219,6 +219,7 @@ class AugmentEngine:
         if frames.shape[1] != 5 and base in (
             "labelcutmix", "lengthcutmix", "datasetcutmix", "wavcutmix",
             "cutmix", "lc-nointrusion", "saliency-cutmix", "swapsysdia",
+            "cont-cutmix",
         ):
             # concat-style methods rewrite the frames vector; with −1-padded
             # multi-cycle frames (full variant) that contract is undefined in
@@ -285,8 +286,15 @@ class AugmentEngine:
             smin, smax = spec.params
             snr = self.np_stream.uniform(smin, smax, size=(B,)).astype(np.float32)
             self._noise_key, sub = jax.random.split(self._noise_key)
+            # zero-after only applies to the zero-pad variant's tail contract
+            # (augmentations.py:1076); full multi-cycle windows carry real
+            # signal to sig_len, which must not be erased
+            end = (
+                frames_end(frames) if frames.shape[1] == 5
+                else np.full(B, cfg.sig_len, np.int64)
+            )
             return Plan(arrays={"snr": snr, "key": jax.random.fold_in(sub, step),
-                                "end": frames_end(frames)})
+                                "end": end})
         if base in ("labelcutmix", "lengthcutmix", "datasetcutmix", "wavcutmix",
                     "cutmix"):
             if base == "cutmix" and spec.per_channel:
@@ -688,11 +696,11 @@ class AugmentEngine:
         if spec.per_channel:
             C = self.cfg.num_channels
             bb = np.zeros((B, C, 2), np.int64)
+            end = frames_end(frames)
             for c in range(C):
                 draws = sorted(
                     prng.py_uniform(step + i * 131071 + c * 524287) for i in range(2)
                 )
-                end = frames_end(frames)
                 bb[:, c, 0] = (draws[0] * end).astype(np.int64)
                 bb[:, c, 1] = (draws[1] * end).astype(np.int64)
             return Plan(arrays={"bb": bb}, latent_depth=depth)

@@ -27,12 +27,16 @@ def load_cvd_map(csv_path: str) -> dict:
     import csv
 
     with open(csv_path, newline="") as f:
-        rows = list(csv.DictReader(f))
-    if not rows or "wav" not in rows[0] or "diagnosis" not in rows[0]:
+        reader = csv.DictReader(f)
+        rows = list(reader)
+        fields = reader.fieldnames or []
+    if "wav" not in fields or "diagnosis" not in fields:
         raise ValueError(
             f"{csv_path}: expected csv columns 'wav' and 'diagnosis' "
             "(cvds_map.csv contract, augmentations.py:26-28)"
         )
+    if not rows:
+        raise ValueError(f"{csv_path}: header is valid but the csv has no rows")
     return {r["wav"]: r["diagnosis"] for r in rows}
 
 

@@ -28,14 +28,18 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.device_put(tree, sharding)
 
 
-def shard_batch(tree: Any, mesh: Mesh, axis: str = "data") -> Any:
-    """Shard every array leaf on its leading axis (batch).  Scalar leaves
-    and PRNG keys are replicated."""
+def shard_batch(tree: Any, mesh: Mesh, axis: str = "data",
+                axis_index: int = 0) -> Any:
+    """Shard every array leaf on its batch axis (``axis_index``); leaves too
+    small/short to shard evenly — scalars, PRNG keys, per-step vectors — are
+    replicated.  axis_index=1 covers scan-stacked (K, B, ...) plan trees."""
 
     def put(x):
         x = np.asarray(x) if not isinstance(x, jax.Array) else x
-        if getattr(x, "ndim", 0) >= 1 and x.shape[0] % mesh.devices.size == 0:
-            return jax.device_put(x, NamedSharding(mesh, P(axis)))
+        if (getattr(x, "ndim", 0) >= axis_index + 1
+                and x.shape[axis_index] % mesh.devices.size == 0):
+            spec = [None] * axis_index + [axis]
+            return jax.device_put(x, NamedSharding(mesh, P(*spec)))
         return jax.device_put(x, NamedSharding(mesh, P()))
 
     return jax.tree_util.tree_map(put, tree)

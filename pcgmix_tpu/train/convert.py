@@ -134,7 +134,13 @@ def load_torch_checkpoint(path: str, model: str) -> dict:
     """Load a reference model.pth and convert (train_model.py:481-482)."""
     import torch
 
-    sd = torch.load(path, map_location="cpu")
+    try:
+        sd = torch.load(path, map_location="cpu")
+    except Exception:
+        # torch >= 2.6 defaults weights_only=True, which rejects checkpoints
+        # that pickle the whole nn.Module; retry with full unpickling (the
+        # file is the user's own reference checkpoint)
+        sd = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     return torch_state_dict_to_flax(sd, model)

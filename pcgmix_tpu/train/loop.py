@@ -214,17 +214,7 @@ def train_model(
         def put_scan(tree):
             # scan stacks are (K, B, ...): shard axis 1 (batch), replicate
             # scalars/per-step leaves
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            def put(x):
-                x = np.asarray(x) if not isinstance(x, jax.Array) else x
-                if getattr(x, "ndim", 0) >= 2 and x.shape[1] % n_dev == 0:
-                    return jax.device_put(
-                        x, NamedSharding(mesh, P(None, "data"))
-                    )
-                return jax.device_put(x, NamedSharding(mesh, P()))
-
-            return jax.tree_util.tree_map(put, tree)
+            return shard_batch(tree, mesh, axis_index=1)
     else:
         def put_batch(tree):
             return jax.tree_util.tree_map(jnp.asarray, tree)

@@ -65,6 +65,8 @@ def run(compute_dtype: str, scan_k: int, use_pallas: bool, steps=60, reps=5):
         it = EpochIterator(train_ds, BATCH, seed=1, step_count=start,
                            parity="numpy", materialize_data=False)
         count = 0
+        executed = 0  # only DISPATCHED steps count toward the rate: a
+                      # trailing partial scan buffer is planned, not run
         if scan_k > 1:
             buf_i, buf_p, buf_s = [], [], []
             for batch in it:
@@ -83,6 +85,7 @@ def run(compute_dtype: str, scan_k: int, use_pallas: bool, steps=60, reps=5):
                         jnp.asarray(buf_s), 1, key,
                     )
                     buf_i, buf_p, buf_s = [], [], []
+                    executed += scan_k
                 if count >= n:
                     break
         else:
@@ -94,10 +97,11 @@ def run(compute_dtype: str, scan_k: int, use_pallas: bool, steps=60, reps=5):
                     plan.arrays, 1, jax.random.fold_in(key, sc),
                 )
                 count += 1
+                executed += 1
                 if count >= n:
                     break
         jax.block_until_ready(state.params)
-        return count
+        return executed
 
     run_steps(max(4, scan_k), 0)  # compile
     rates = []

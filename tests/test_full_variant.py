@@ -161,3 +161,31 @@ def test_full_variant_training_smoke():
     )
     assert np.isfinite(perf["train_loss"]).all()
     assert len(perf["test_accuracy"]) >= 1
+
+
+def test_cont_cutmix_rejects_full_frames():
+    """cont-cutmix rewrites the frames vector like its concat-family
+    siblings; on the full variant it would silently zero the real signal
+    tail, so it must raise (regression: it was missing from the guard)."""
+    data, frames, labels = _full_batch()
+    eng = AugmentEngine(AugmentConfig("cont-cutmix", B, C, T, model="resnet9"))
+    with pytest.raises(NotImplementedError, match="single-cycle"):
+        eng.plan(0, frames, labels)
+
+
+def test_gaussiannoise_full_variant_keeps_tail():
+    """Full-variant windows carry real signal to sig_len — gaussiannoise's
+    zero_after must not erase [frames_end, T) (regression)."""
+    data, frames, labels = _full_batch(seed=11)
+    eng = AugmentEngine(AugmentConfig(
+        "gaussiannoise(25,40)", B, C, T, model="resnet9"
+    ))
+    plan = eng.plan(0, frames, labels)
+    tohe = np.eye(2, dtype=np.float32)[labels]
+    out, _ = eng.apply(jnp.asarray(data), jnp.asarray(tohe), plan.arrays)
+    out = np.asarray(out)
+    ends = frames_end(frames)
+    assert (ends < T).any(), "fixture must exercise a short last boundary"
+    for i in range(B):
+        tail = out[i, :, ends[i]:]
+        assert tail.size == 0 or np.abs(tail).max() > 0, f"row {i} tail zeroed"
