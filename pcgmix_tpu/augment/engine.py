@@ -667,13 +667,20 @@ class AugmentEngine:
                 else:
                     use2 = bv2[j] >= thr
                 bf = bf2 if use2 else bf1
-                L = int(bf[j + 1] - bf[j])
+                # reference bin starts overshoot short segments
+                # (saliency.py:130: arange(bins)*ceil(L/bins)), making raw
+                # diffs negative there; the handler's np.append slices clip
+                # those to EMPTY for placement (the cursor never moves
+                # backwards) while its λ bookkeeping adds the raw diff
+                # (augmentations.py:1434-1452) — mirror both exactly
+                L_raw = int(bf[j + 1] - bf[j])
+                L_eff = max(0, L_raw)
                 dst[i, j] = pos
                 src[i, j] = bf[j]
-                ln[i, j] = L
+                ln[i, j] = L_eff
                 sel[i, j] = int(use2)
-                took[int(use2)] += L
-                pos += L
+                took[int(use2)] += L_raw
+                pos += L_eff
             lam_t[i] = took[0] / max(took[0] + took[1], 1)
             # frames of the new instance at S1/sys/S2/dia boundaries
             f_new[i] = [0, dst[i, 1], dst[i, 5], dst[i, 6],

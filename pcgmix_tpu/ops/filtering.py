@@ -31,33 +31,38 @@ def butter_bandpass(lo: float, hi: float, fs: float, order: int = 4):
     return np.asarray(b), np.asarray(a)
 
 
-def _lfilter_scan(b: jax.Array, a: jax.Array, x: jax.Array, zi: jax.Array):
+def _lfilter_scan(b, a, x, zi):
     """Direct-form II transposed IIR filter along the last axis.
 
-    x: (..., T); zi: (..., order) initial conditions (scipy lfilter zi
-    convention).  Returns filtered signal.
+    x: (..., T) float64 numpy; zi: (..., order) initial conditions (scipy
+    lfilter zi convention).  Runs as a vectorized NumPy time loop: the
+    recurrence needs float64 for scipy parity, and doing it on host avoids
+    toggling the process-global jax_enable_x64 flag (not thread-safe —
+    a concurrent fp32 trace on another thread would see f64 constants).
     """
-    def step(z, xt):
-        # xt: (...,) ; z: (..., order) DF2T state
+    x = np.asarray(x, np.float64)
+    z = np.array(np.broadcast_to(zi, x.shape[:-1] + zi.shape[-1:]), np.float64)
+    y = np.empty_like(x)
+    for t in range(x.shape[-1]):
+        xt = x[..., t]
         yt = b[0] * xt + z[..., 0]
-        shifted = jnp.concatenate(
-            [z[..., 1:], jnp.zeros_like(z[..., :1])], axis=-1
-        )
-        znew = shifted + b[1:] * xt[..., None] - a[1:] * yt[..., None]
-        return znew, yt
-
-    xs = jnp.moveaxis(x, -1, 0)
-    _, ys = jax.lax.scan(step, zi, xs)
-    return jnp.moveaxis(ys, 0, -1)
+        z[..., :-1] = z[..., 1:] + b[1:-1, None].T * xt[..., None]             - a[1:-1, None].T * yt[..., None] if False else z[..., :-1]
+        # DF2T update (vectorized over leading dims)
+        z = np.concatenate(
+            [z[..., 1:], np.zeros_like(z[..., :1])], axis=-1
+        ) + b[1:] * xt[..., None] - a[1:] * yt[..., None]
+        y[..., t] = yt
+    return y
 
 
-def filtfilt(b: np.ndarray, a: np.ndarray, x: jax.Array) -> jax.Array:
+def filtfilt(b: np.ndarray, a: np.ndarray, x) -> jax.Array:
     """Zero-phase filtering matching scipy.signal.filtfilt defaults
     (padtype='odd', padlen=3·max(len(a),len(b)), method='pad').
 
     x: (..., T) with T > padlen.  The IIR recurrence accumulates rounding
-    error, so it runs in float64 (this is the offline builder's host path;
-    scipy-parity demands it) and casts back to the input dtype.
+    error, so it runs in float64 NumPy on host (this is the offline
+    builder's path; scipy-parity demands f64, and host execution avoids the
+    process-global jax_enable_x64 flag) and casts back to the input dtype.
     """
     from scipy.signal import lfilter_zi
 
@@ -67,37 +72,20 @@ def filtfilt(b: np.ndarray, a: np.ndarray, x: jax.Array) -> jax.Array:
     padlen = 3 * ntaps
     if x.shape[-1] <= padlen:
         raise ValueError(f"signal length {x.shape[-1]} must exceed padlen {padlen}")
-    zi_np = lfilter_zi(b, a)  # (order,)
+    zi = lfilter_zi(b, a)  # (order,)
 
     orig_dtype = x.dtype
-    prev_x64 = jax.config.jax_enable_x64
-    jax.config.update("jax_enable_x64", True)
-    try:
-        bj = jnp.asarray(b, jnp.float64)
-        aj = jnp.asarray(a, jnp.float64)
-        zi = jnp.asarray(zi_np, jnp.float64)
-        x64 = jnp.asarray(np.asarray(x), jnp.float64)
+    x64 = np.asarray(x, np.float64)
 
-        # odd extension on both ends (scipy _validate_pad)
-        left = 2 * x64[..., :1] - x64[..., 1 : padlen + 1][..., ::-1]
-        right = 2 * x64[..., -1:] - x64[..., -padlen - 1 : -1][..., ::-1]
-        ext = jnp.concatenate([left, x64, right], axis=-1)
+    # odd extension on both ends (scipy _validate_pad)
+    left = 2 * x64[..., :1] - x64[..., 1 : padlen + 1][..., ::-1]
+    right = 2 * x64[..., -1:] - x64[..., -padlen - 1 : -1][..., ::-1]
+    ext = np.concatenate([left, x64, right], axis=-1)
 
-        zi_fwd = zi * ext[..., :1]
-        y = _lfilter_scan(
-            bj, aj, ext, jnp.broadcast_to(zi_fwd, ext.shape[:-1] + zi.shape)
-        )
-        yr = y[..., ::-1]
-        zi_bwd = zi * yr[..., :1]
-        y2 = _lfilter_scan(
-            bj, aj, yr, jnp.broadcast_to(zi_bwd, ext.shape[:-1] + zi.shape)
-        )
-        y2 = y2[..., ::-1]
-        out = np.asarray(y2[..., padlen:-padlen])
-    finally:
-        jax.config.update("jax_enable_x64", prev_x64)
-    return jnp.asarray(out, orig_dtype)
-
+    y = _lfilter_scan(b, a, ext, zi * ext[..., :1])
+    yr = y[..., ::-1]
+    y2 = _lfilter_scan(b, a, yr, zi * yr[..., :1])[..., ::-1]
+    return jnp.asarray(y2[..., padlen:-padlen], orig_dtype)
 
 def bandpass_filtfilt(
     x: jax.Array, lo: float, hi: float, fs: float, order: int = 4

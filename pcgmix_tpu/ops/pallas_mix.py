@@ -33,21 +33,21 @@ def _kernel(n_pieces: int, base_is_d1: bool,
     d2 = d2_ref[0]
     C, T = d1.shape
     t = jax.lax.broadcasted_iota(jnp.int32, (C, T), 1)
-    out = d1 if base_is_d1 else jnp.zeros_like(d1)
+    base = d1 if base_is_d1 else jnp.zeros_like(d1)
+    out = base
     for k in range(n_pieces):  # static unroll: K is 2..14
         dst = dst_ref[i, k]
         off = src_ref[i, k] - dst
         length = len_ref[i, k]
         a = alpha_ref[i, k]
-        # source window aligned to the output window via a lane rotation;
-        # normalize the shift to [0, T) — Mosaic's dynamic rotate mishandles
-        # negative amounts
+        # source window aligned to the output window via ONE lane rotation
+        # (sel is scalar, so select-then-rotate); normalize the shift to
+        # [0, T) — Mosaic's dynamic rotate mishandles negative amounts
         shift = jnp.mod(-off, T)
-        rot2 = pltpu.roll(d2, shift, axis=1)
-        rot1 = pltpu.roll(d1, shift, axis=1)
-        srcv = jnp.where(sel_ref[i, k] > 0, rot2, rot1)
+        srcv = pltpu.roll(jnp.where(sel_ref[i, k] > 0, d2, d1), shift, axis=1)
         inside = (t >= dst) & (t < dst + length)
-        out = jnp.where(inside, a * d1 + (1.0 - a) * srcv, out)
+        # blend against the same base as piecewise_mix (zeros for concat)
+        out = jnp.where(inside, a * base + (1.0 - a) * srcv, out)
     # fp32 alpha promotes bf16 rows; cast back (bf16 batches are legal input)
     out_ref[0] = out.astype(out_ref.dtype)
 
@@ -142,9 +142,8 @@ def _kernel_fused(n_pieces: int,
         dst = dst_ref[i, k]
         off = src_ref[i, k] - dst
         shift = jnp.mod(-off, T)
-        rot2 = pltpu.roll(d2, shift, axis=1)
-        rot1 = pltpu.roll(d1, shift, axis=1)
-        srcv = jnp.where(sel_ref[i, k] > 0, rot2, rot1)
+        # sel is scalar → select-then-rotate: one dynamic rotation per piece
+        srcv = pltpu.roll(jnp.where(sel_ref[i, k] > 0, d2, d1), shift, axis=1)
         inside = (t >= dst) & (t < dst + len_ref[i, k])
         a = alpha_ref[i, k]
         out = jnp.where(inside, a * d1 + (1.0 - a) * srcv, out)

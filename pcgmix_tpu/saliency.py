@@ -21,6 +21,8 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+
+from pcgmix_tpu.ops.masks import zero_after
 import numpy as np
 
 
@@ -43,13 +45,6 @@ def _smooth_same(x: jax.Array, kernel: jax.Array) -> jax.Array:
     return out[:, 0, :]
 
 
-def _zero_tail(x: jax.Array, end: jax.Array) -> jax.Array:
-    t = jnp.arange(x.shape[-1])
-    mask = t[None, :] < end[:, None]  # (B, T)
-    mask = mask.reshape(mask.shape[0], *([1] * (x.ndim - 2)), mask.shape[-1])
-    return jnp.where(mask, x, 0.0)
-
-
 def _normalize01(x: jax.Array) -> jax.Array:
     x = x - jnp.min(x, axis=-1, keepdims=True)
     x = x / jnp.max(x, axis=-1, keepdims=True)
@@ -69,11 +64,13 @@ def _saliency_core(model_apply, params, batch_stats, data, target_hard, end,
         return jnp.sum(out * target_hard)
 
     g = jnp.abs(jax.grad(score)(data))
-    g = _zero_tail(g.reshape(g.shape[0], -1, g.shape[-1]), end)  # (B, C[·F], T)
-    sal = jnp.sum(g, axis=1)  # (B, T)
+    g = zero_after(g.reshape(g.shape[0], -1, g.shape[-1]), end)  # (B, C[·F], T)
+    # saliency math stays fp32 even for bf16 batches: conv_general_dilated
+    # does not promote mixed dtypes, and the maps feed host-side searches
+    sal = jnp.sum(g, axis=1).astype(jnp.float32)  # (B, T)
     sal = _smooth_same(sal, jnp.asarray(gaussian_kernel(n, sigma)))
     if post_zero_tail:
-        sal = _zero_tail(sal, end)
+        sal = zero_after(sal, end)
     return _normalize01(sal)
 
 

@@ -25,12 +25,6 @@ def soft_target_ce(logits: jax.Array, target_ohe: jax.Array) -> jax.Array:
     return -jnp.mean(jnp.sum(logp * target_ohe, axis=1))
 
 
-def per_sample_ce(logits: jax.Array, target_ohe: jax.Array) -> jax.Array:
-    """Per-sample CE vector (custom_loss's losses_1d, train_model.py:87-89)."""
-    logp = jax.nn.log_softmax(logits, axis=1)
-    return -jnp.sum(logp * target_ohe, axis=1)
-
-
 def selc_update(
     soft_labels: jax.Array,
     logits: jax.Array,

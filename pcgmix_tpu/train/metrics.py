@@ -44,10 +44,14 @@ def recording_level_eval(
         mean = arr.mean(axis=0)
         wav_probs.append(mean)
         if class_majority:
-            votes = np.bincount(arr.argmax(axis=1), minlength=2)
+            votes = np.bincount(arr.argmax(axis=1), minlength=arr.shape[1])
             pred = int(votes.argmax())
-            if votes.shape[0] == 2 and votes[0] == votes[1]:
-                pred = 1  # tie → abnormal (train_model.py:642-643)
+            # tie → abnormal when class 1 is among the tied leaders
+            # (train_model.py:642-643 for the binary case; bincount used to
+            # be truncated to the highest voted class, silently skipping the
+            # tie rule whenever a third class received votes)
+            if votes[1] == votes.max() and (votes == votes.max()).sum() > 1:
+                pred = 1
         else:
             pred = int(mean.argmax())
         wav_preds.append(pred)

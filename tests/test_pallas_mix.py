@@ -72,3 +72,18 @@ def test_pallas_bf16_batch(rng):
     knots = jnp.asarray(rng.normal(1.0, 0.2, size=(B, 6, C)), jnp.float32)
     fused = pcgmix_plus_fused_pallas(*args, knots, interpret=True)
     assert fused.dtype == jnp.bfloat16
+
+
+def test_pallas_concat_base_zero_nonzero_alpha(rng):
+    """base_is_d1=False with alpha>0 must blend against the ZERO base like
+    piecewise_mix (regression: the kernel blended against d1)."""
+    data, mix, p = _inputs(rng, 0.35)
+    alpha = np.full_like(p["alpha"], 0.3)
+    args = (jnp.asarray(data), jnp.asarray(mix), jnp.asarray(p["dst_start"]),
+            jnp.asarray(p["src_start"]), jnp.asarray(p["length"]),
+            jnp.asarray(p["src_sel"]), jnp.asarray(alpha, jnp.float32))
+    pal = np.asarray(
+        piecewise_mix_batch_pallas(*args, base_is_d1=False, interpret=True)
+    )
+    ref = np.asarray(piecewise_mix_batch(*args, base_is_d1=False))
+    np.testing.assert_allclose(pal, ref, rtol=1e-6, atol=1e-6)

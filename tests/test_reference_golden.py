@@ -484,12 +484,21 @@ def test_saliency_cutmix_dispatch_matches_reference(ref):
     bin_frames = np.zeros((B, nb + 1), np.int64)
     for i in range(B):
         f = frames[i]
-        # boundaries: [f0, f1] S1, 4 splits of [f1,f2], [f2,f3] S2, 8 of [f3,f4]
+        # reference bin starts: arange(bins)*ceil(L/bins) + seg_start
+        # (saliency.py:130,:178-198) — these OVERSHOOT the segment end for
+        # short segments, making bin_frames non-monotonic; the handler's
+        # np.append slices then clip empty while its λ bookkeeping uses the
+        # raw (possibly negative) diffs.  The oracle must exercise that.
+        def seg_starts(a, b, bins):
+            L = b - a
+            return a + np.arange(bins) * int(np.ceil(L / bins))
+
         bounds = np.concatenate([
-            [f[0], f[1]],
-            np.linspace(f[1], f[2], 5).astype(np.int64)[1:],
-            [f[3]],
-            np.linspace(f[3], f[4], 9).astype(np.int64)[1:],
+            seg_starts(f[0], f[1], 1),
+            seg_starts(f[1], f[2], 4),
+            seg_starts(f[2], f[3], 1),
+            seg_starts(f[3], f[4], 8),
+            [f[4]],
         ])
         bin_frames[i] = bounds
     ref.saliency.saliency_map = lambda *a, **k: (
@@ -513,6 +522,63 @@ def test_saliency_cutmix_dispatch_matches_reference(ref):
         np.testing.assert_allclose(
             np.asarray(out), r_out, rtol=1e-5, atol=1e-6,
             err_msg=f"saliency-cutmix step {step} data",
+        )
+        np.testing.assert_allclose(np.asarray(t2), r_t, rtol=1e-6, atol=1e-7)
+
+
+def test_saliency_cutmix_short_segments_match_reference(ref):
+    """Short segments make the reference's overshooting bin starts produce
+    NEGATIVE mid-sequence bin diffs (a 5-sample systole with 4 bins); its
+    np.append slices clip those to empty for placement while the λ
+    bookkeeping keeps the raw diffs — the divergence our consumer must
+    mirror (regression)."""
+    rng = np.random.default_rng(61)
+    data = rng.normal(size=(B, C, T)).astype(np.float32)
+    lens = rng.integers(3, 10, size=(B, 4))  # tiny segments incl. sys=5
+    lens[0, 1] = 5  # guarantee the L=5/4-bin overshoot case
+    frames = np.zeros((B, 5), np.int64)
+    frames[:, 1:] = np.cumsum(lens, axis=1)
+    for i in range(B):
+        data[i, :, frames[i, -1]:] = 0.0
+    labels = rng.integers(0, 2, size=B).astype(np.int64)
+    wavs = [f"a{i:04d}_0" for i in range(B)]
+
+    def seg_starts(a, b, bins):
+        return a + np.arange(bins) * int(np.ceil((b - a) / bins))
+
+    nb = 14
+    bin_values = rng.uniform(0.0, 1.0, size=(B, nb))
+    bin_frames = np.zeros((B, nb + 1), np.int64)
+    for i in range(B):
+        f = frames[i]
+        bin_frames[i] = np.concatenate([
+            seg_starts(f[0], f[1], 1), seg_starts(f[1], f[2], 4),
+            seg_starts(f[2], f[3], 1), seg_starts(f[3], f[4], 8), [f[4]],
+        ])
+    assert (np.diff(bin_frames, axis=1) < 0).any(), "fixture must overshoot"
+    ref.saliency.saliency_map = lambda *a, **k: (
+        None, None, None, np.array(bin_values, copy=True),
+        np.array(bin_frames, copy=True),
+    )
+    for step in STEPS:
+        r_out, r_t, _, _ = run_reference(
+            ref, "saliency-cutmix", data, frames, labels, wavs, step
+        )
+        eng = AugmentEngine(AugmentConfig(
+            method="saliency-cutmix", batch_size=B, num_channels=C,
+            sig_len=T, model="resnet9",
+        ))
+        plan = eng.plan(
+            step, frames, labels, wavs,
+            saliency_bins_fn=lambda: (
+                np.array(bin_values, copy=True), np.array(bin_frames, copy=True)
+            ),
+        )
+        tohe = np.eye(2, dtype=np.float32)[labels]
+        out, t2 = eng.apply(jnp.asarray(data), jnp.asarray(tohe), plan.arrays)
+        np.testing.assert_allclose(
+            np.asarray(out), r_out, rtol=1e-5, atol=1e-6,
+            err_msg=f"short-segment saliency-cutmix step {step}",
         )
         np.testing.assert_allclose(np.asarray(t2), r_t, rtol=1e-6, atol=1e-7)
 
