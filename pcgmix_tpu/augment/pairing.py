@@ -131,6 +131,8 @@ def closest_knn(
     dist_by_label = {}
     for label in (0, 1):
         members = [i for i, t in enumerate(labels) if int(t) == label]
+        if len(members) < 2:
+            continue  # nothing to pair within this class; rows stay identity
         fts = latent[members]
         d = np.linalg.norm(fts[:, None] - fts[None, :], axis=-1)
         dist_by_label[label] = _rankings(d, k_num)
@@ -149,10 +151,15 @@ def closest_bins(
     dists, members_by_label = {}, {}
     for label in (0, 1):
         members = [i for i, t in enumerate(labels) if int(t) == label]
+        if len(members) < 2:
+            continue  # nothing to pair within this class; rows stay identity
         fts = latent[members]
         d = np.linalg.norm(fts[:, None] - fts[None, :], axis=-1)
         dists[label] = d
         members_by_label[label] = members
+    if not dists:
+        mix = np.arange(size)
+        return mix, _total_distance(latent, mix)
     upper = {l: d[np.triu_indices_from(d, k=1)] for l, d in dists.items()}
     all_max = max(u.max() for u in upper.values())
     all_min = min(u.min() for u in upper.values())

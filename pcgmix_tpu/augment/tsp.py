@@ -62,11 +62,23 @@ def solve_tsp_local_search(
         improved = False
         for i in range(1, n - 1):
             for j in range(i + 1, n):
-                cand = tour[:i] + tour[i : j + 1][::-1] + tour[j + 1 :]
-                c = cycle_cost(cand)
-                if c < best - 1e-12:
-                    tour, best = cand, c
-                    improved = True
+                # reversing tour[i..j] swaps exactly two cycle edges —
+                # O(1) delta instead of an O(n) candidate re-sum
+                a, b = tour[i - 1], tour[i]
+                c, e = tour[j], tour[(j + 1) % n]
+                delta = dist[a][c] + dist[b][e] - dist[a][b] - dist[c][e]
+                if delta >= 1e-9:
+                    continue
+                if delta > -1e-9:
+                    # near-tie: fall back to the exact full-cost comparison
+                    # so decisions match the pre-optimization behavior
+                    cand = tour[:i] + tour[i : j + 1][::-1] + tour[j + 1 :]
+                    cc = cycle_cost(cand)
+                    if not cc < best - 1e-12:
+                        continue
+                tour[i : j + 1] = tour[i : j + 1][::-1]
+                best = cycle_cost(tour)
+                improved = True
         if not improved:
             break
     return tour, best

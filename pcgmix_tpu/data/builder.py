@@ -89,6 +89,13 @@ def parse_umc_state_trace(path: str) -> tuple[np.ndarray, list[str]]:
     1..4 (S1, systole, S2, diastole); transitions become the (frame, state)
     stream (databuilder.ipynb cell 14)."""
     trace = np.loadtxt(path).astype(int).ravel()
+    bad = (trace < 1) | (trace > 4)
+    if bad.any():
+        raise ValueError(
+            f"{path}: state codes must be 1..4 (S1, systole, S2, diastole); "
+            f"found {sorted(set(trace[bad].tolist()))} — unsegmented/noise "
+            "samples must be handled upstream, not silently mislabeled"
+        )
     change = np.flatnonzero(np.diff(trace)) + 1
     starts = np.concatenate([[0], change])
     frames = starts

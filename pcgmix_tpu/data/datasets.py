@@ -51,6 +51,14 @@ def bands_to_channels(
     """
     if num_channels == 1 and not classical_space:
         return np.asarray(data_dict[WIDE_BAND], np.float32)[:, None, :]
+    if num_channels != 4:
+        # the reference wires exactly these two layouts
+        # (dataloader_physionet.py:29-35); anything else would silently
+        # return the 4-band stack under a mislabeled chs= run dir
+        raise ValueError(
+            f"num_channels must be 1 (wide band) or 4 (narrow bands), "
+            f"got {num_channels}"
+        )
     bands = list(MODEL_BANDS)
     if classical_space:
         bands.append(WIDE_BAND)

@@ -64,7 +64,10 @@ def hyperparameters_robust(cfg):
         cfg.lr_max = 0.00001
     if cfg.method == "base":
         return cfg
-    if cfg.method in _CP_TABLE:
+    if cfg.method in _CP_TABLE and cfg.n_fraction in N_FRACTIONS:
+        # the published '+cp' table covers exactly the 9 grid n_fractions
+        # (read_experiments.py:160-166); custom fractions run un-suffixed
+        # instead of raising
         cp = _CP_TABLE[cfg.method][N_FRACTIONS.index(cfg.n_fraction)]
         cfg.method = f"{cfg.method}+{cp}"
     return cfg

@@ -116,11 +116,27 @@ def plot_latent_space(
     from scipy.spatial import distance_matrix
 
     fts = np.asarray(latent_features["fts"])
-    trgts = np.asarray(latent_features["trgts"])
-    fts_new = np.asarray(latent_features.get("fts_new", fts))
-    trgts_new = np.asarray(latent_features.get("trgts_new", trgts))
+    # the training loop dumps {'fts', 'target'} (loop.py:579); accept the
+    # reference notebooks' 'trgts' spelling too
+    trgts = np.asarray(
+        latent_features["target"] if "target" in latent_features
+        else latent_features["trgts"]
+    )
+    has_new = "fts_new" in latent_features
+    fts_new = np.asarray(latent_features["fts_new"]) if has_new else None
+    trgts_new = (
+        np.asarray(latent_features.get("trgts_new", trgts)) if has_new else trgts
+    )
 
-    if dim_reduc == "tsne":
+    if not has_new:
+        # no augmented points: embed the originals alone — concatenating a
+        # duplicate copy would distort t-SNE's neighbor structure
+        if dim_reduc == "tsne":
+            fts, _, expl = dim_reduc_tsne(fts, fts[:0])
+        else:
+            fts, _, expl = dim_reduc_pca(fts, fts[:0])
+        fts_new = fts
+    elif dim_reduc == "tsne":
         fts, fts_new, expl = dim_reduc_tsne(fts, fts_new)
     else:
         fts, fts_new, expl = dim_reduc_pca(fts, fts_new)

@@ -50,6 +50,13 @@ double pcg_sample_entropy(const double* y, int64_t n, int64_t order, double r) {
 // optimal_displacement_max_envelope (augmentations.py:60-93): place the
 // shorter saliency window inside the longer one maximizing the summed
 // elementwise max; the first strict maximum wins (reference tie-breaking).
+// Totals are rounded to 12 decimals before comparison, matching the NumPy
+// fallback (salopt.py np.round(..., 12)) so near-tie accumulation noise
+// resolves to the same displacement with or without the native library.
+static inline double round12(double x) {
+    return std::nearbyint(x * 1e12) / 1e12;
+}
+
 int64_t pcg_opt_disp_env(const double* s_long, int64_t n_long,
                          const double* s_short, int64_t n_short) {
     double total_long = 0.0;
@@ -62,6 +69,7 @@ int64_t pcg_opt_disp_env(const double* s_long, int64_t n_long,
             double a = s_long[d + k], b = s_short[k];
             if (b > a) s += b - a;  // replace window values by the max
         }
+        s = round12(s);
         if (s > best) {
             best = s;
             best_d = d;
@@ -77,12 +85,13 @@ int64_t pcg_opt_disp_sum_longer(const double* s_long, int64_t n_long,
                                 int64_t n_short) {
     double window = 0.0;
     for (int64_t k = 0; k < n_short; ++k) window += s_long[k];
-    double best = window;
+    double best = round12(window);
     int64_t best_d = 0;
     for (int64_t d = 1; d + n_short <= n_long; ++d) {
         window += s_long[d + n_short - 1] - s_long[d - 1];
-        if (window < best) {
-            best = window;
+        double w = round12(window);
+        if (w < best) {
+            best = w;
             best_d = d;
         }
     }

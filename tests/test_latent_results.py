@@ -86,3 +86,25 @@ def test_latent_space_model_roundtrip(trained_run, tmp_path):
         "train", 1, 2, "durratiomixup", str(tmp_path), dim_reduc="pca",
     )
     assert os.path.exists(path)
+
+
+def test_plot_latent_space_accepts_training_dump_keys(trained_run, tmp_path):
+    """The training loop dumps {'fts', 'target'} (loop.py:579); the plotter
+    must accept that dict as-is, and for method='base' (no augmented
+    points) embed the originals alone instead of a duplicated copy
+    (regression: KeyError 'trgts'; duplicate points distorting t-SNE)."""
+    cfg, ds, root = trained_run
+    from pcgmix_tpu.exp import experiment_dir
+    from pcgmix_tpu.latent import LatentSpace, plot_latent_space
+
+    ckpt = os.path.join(experiment_dir(cfg), "model.msgpack")
+    lat = LatentSpace(ckpt, model_name="resnet9-5k", sig_len=512)
+    from pcgmix_tpu.data import physionet_split
+
+    split = physionet_split(ds, "train")
+    fts = lat.generate(split.data[:12])
+    path = plot_latent_space(
+        {"fts": fts, "target": split.label[:12]},
+        "train", 1, 2, "base", str(tmp_path), dim_reduc="tsne",
+    )
+    assert os.path.exists(path)

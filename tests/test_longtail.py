@@ -136,3 +136,36 @@ def test_optimal_saliency_pairing_behavior():
             perm[members] = r.permutation(members)
         rand_scores.append(overlap[np.arange(B), perm].mean())
     assert score >= np.mean(rand_scores), (score, np.mean(rand_scores))
+
+
+def test_robust_schedule_custom_n_fraction_passes_through():
+    """hyperparameters_robust must not raise for n_fractions outside the
+    published 9-value grid (regression: ValueError from .index())."""
+    from pcgmix_tpu.exp.robust import hyperparameters_robust
+    from pcgmix_tpu.train import TrainConfig
+
+    cfg = TrainConfig(method="durratiomixup", n_fraction=0.5, model="resnet9")
+    out = hyperparameters_robust(cfg)
+    assert out.method == "durratiomixup"  # no '+cp' suffix for custom nfrac
+    cfg2 = TrainConfig(method="durratiomixup", n_fraction=0.1, model="resnet9")
+    assert hyperparameters_robust(cfg2).method.startswith("durratiomixup+")
+
+
+def test_closest_pairings_degenerate_class_batches():
+    """closest_knn / closest_bins with a batch whose class has 0 or 1
+    members: rows of the degenerate class stay identity instead of crashing
+    (regression: IndexError / empty-max ValueError mid-training)."""
+    from pcgmix_tpu.augment.pairing import closest_bins, closest_knn
+
+    rng = np.random.default_rng(3)
+    latent = rng.normal(size=(8, 6))
+    only0 = np.zeros(8, np.int64)
+    one1 = np.array([0, 0, 0, 0, 0, 0, 0, 1], np.int64)
+    for labels in (only0, one1):
+        mix_k, _ = closest_knn(labels, latent, 2, seed=1, batch_size=16)
+        mix_b, _ = closest_bins(labels, latent, 3, seed=1)
+        for mix in (mix_k, mix_b):
+            deg = np.where(labels == 1)[0]
+            assert (mix[deg] == deg).all()
+            # non-degenerate class rows still pair within the class
+            assert set(mix.tolist()) <= set(range(8))
