@@ -96,15 +96,24 @@ def build_model(
 
 
 def max_latent_depth(name: str) -> int:
-    """Max depth for latentmixup's random depth draw (augmentations.py:1484-1494)."""
-    if name == "FCN":
-        return 4  # args.depth = 4 then overwritten by randint(1, max) — see below
-    if name == "Potes":
+    """Max depth for latentmixup's random depth draw (augmentations.py:1484-1494).
+
+    Raises for models without a part='first'/'second' split forward — the
+    reference crashes for those too (its latentmixup ladder only assigns
+    max_model_depth for resnet9/Potes/Singstad, and the d3/d6 Singstad
+    forwards have their pass_part branches commented out)."""
+    if name in ("FCN", "FCN(custom)"):
+        return 4  # args.depth = 4 then overwritten by randint(1, max)
+    if name.startswith("Potes"):
         return 1
     if name == "ResCNN":
         return 5
-    if name == "resnet9":
+    if name in RESNET9_PRESETS or name == "resnet9":
         return 3
-    if name.startswith("Singstad"):
+    if name == "Singstad_d10":
         return 3
-    return 3
+    raise NotImplementedError(
+        f"latentmixup needs a split (part='first'/'second') forward, which "
+        f"{name!r} does not implement (nor does the reference's); supported: "
+        "resnet9 presets, Potes presets, FCN(+custom), ResCNN, Singstad_d10"
+    )

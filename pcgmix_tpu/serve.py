@@ -72,7 +72,7 @@ class Classifier:
         """(N, …) cycles → (N, C) softmax probabilities; inputs are padded to
         the service batch size so every call hits one compiled program."""
         n = len(data)
-        out = np.zeros((n, 2), np.float32)
+        out = None
         bs = self.batch_size
         for b in range(0, n, bs):
             chunk = data[b : b + bs]
@@ -81,28 +81,23 @@ class Classifier:
                 pad = np.zeros((bs - valid,) + chunk.shape[1:], chunk.dtype)
                 chunk = np.concatenate([chunk, pad])
             probs = np.asarray(self._forward(jnp.asarray(chunk)))
+            if out is None:
+                out = np.zeros((n, probs.shape[1]), np.float32)
             out[b : b + valid] = probs[:valid]
-        return out
+        return out if out is not None else np.zeros((0, 2), np.float32)
 
     def predict_recordings(self, data: np.ndarray, wavs) -> list[Prediction]:
-        """Aggregate per-cycle probabilities into per-recording predictions
-        (mean-probability vote; '(class_majority)' variant optional)."""
+        """Aggregate per-cycle probabilities into per-recording predictions —
+        the evaluation protocol's shared aggregation
+        (train.metrics.aggregate_recordings)."""
+        from pcgmix_tpu.train.metrics import aggregate_recordings
+
         probs = self.predict_proba(data)
-        by_wav: dict = {}
-        for p, w in zip(probs, wavs):
-            by_wav.setdefault(w, []).append(p)
-        out = []
-        for w, plist in by_wav.items():
-            arr = np.asarray(plist)
-            if self.class_majority:
-                votes = np.bincount(arr.argmax(axis=1), minlength=2)
-                pred = int(votes.argmax())
-                if votes.shape[0] == 2 and votes[0] == votes[1]:
-                    pred = 1
-            else:
-                pred = int(arr.mean(axis=0).argmax())
-            out.append(Prediction(w, pred, float(arr.mean(axis=0)[1]), len(arr)))
-        return out
+        agg = aggregate_recordings(probs, wavs, self.class_majority)
+        return [
+            Prediction(w, pred, float(mean[1]) if len(mean) > 1 else 0.0, n)
+            for w, (pred, mean, n) in agg.items()
+        ]
 
 
 def main(argv=None):

@@ -9,7 +9,9 @@ table + step) so an interrupted run continues mid-training.
 
 from __future__ import annotations
 
+import glob
 import os
+import pickle
 from typing import Optional
 
 import jax
@@ -20,16 +22,38 @@ from pcgmix_tpu.train.steps import TrainState
 
 class CheckpointManager:
     def __init__(self, directory: str, max_to_keep: int = 2):
+        self._dir = os.path.abspath(directory)
+        self._max_to_keep = max_to_keep
         self._mgr = ocp.CheckpointManager(
-            os.path.abspath(directory),
+            self._dir,
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep, create=True
             ),
         )
 
-    def save(self, step: int, state: TrainState) -> None:
+    def save(self, step: int, state: TrainState,
+             metrics: Optional[dict] = None) -> None:
         self._mgr.save(step, args=ocp.args.StandardSave(state))
         self._mgr.wait_until_finished()
+        if metrics is not None:
+            with open(os.path.join(self._dir, f"metrics_{step}.pkl"), "wb") as f:
+                pickle.dump(metrics, f)
+            kept = sorted(
+                glob.glob(os.path.join(self._dir, "metrics_*.pkl")),
+                key=lambda q: int(q.rsplit("_", 1)[1].split(".")[0]),
+            )
+            for old in kept[: -self._max_to_keep]:
+                os.remove(old)
+
+    def restore_metrics(self, step: int) -> Optional[dict]:
+        """Metric history saved alongside the state checkpoint — without it a
+        resumed run's performance.pkl would silently lose the pre-crash
+        training curve and restart 'times' at zero."""
+        path = os.path.join(self._dir, f"metrics_{step}.pkl")
+        if not os.path.exists(path):
+            return None
+        with open(path, "rb") as f:
+            return pickle.load(f)
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()

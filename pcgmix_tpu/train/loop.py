@@ -305,13 +305,11 @@ def train_model(
 
         multi_step = make_multi_step(step_aug if engine.enabled else step_plain)
 
-    saliency_fn = None
-    if engine.needs_pretrained_saliency:
-        if saliency_model_provider is None:
-            raise ValueError(
-                f"method {cfg.method!r} needs a pretrained saliency model; pass "
-                "saliency_model_provider (see pcgmix_tpu.saliency)"
-            )
+    if engine.needs_pretrained_saliency and saliency_model_provider is None:
+        raise ValueError(
+            f"method {cfg.method!r} needs a pretrained saliency model; pass "
+            "saliency_model_provider (see pcgmix_tpu.saliency)"
+        )
 
     from pcgmix_tpu import saliency as saliency_mod
     from pcgmix_tpu.train.counters import VariabilityCounter
@@ -346,6 +344,12 @@ def train_model(
             state, restored_step = ckpt_mgr.restore(state)
             step_count = restored_step
             start_epoch = step_count // steps_per_epoch + 1
+            saved = ckpt_mgr.restore_metrics(restored_step)
+            if saved:
+                for k, v in saved.get("perf", {}).items():
+                    perf.dict[k] = list(v)
+                times = list(saved.get("times", []))
+                lr_per_step = list(saved.get("lr_per_step", []))
             if progress:
                 print(f"resumed from checkpoint: step {step_count}, "
                       f"epoch {start_epoch}")
@@ -492,10 +496,16 @@ def train_model(
                 sel = engine.lc_select(
                     losses, plan.aux["cand_labels"], plan.aux["n_per_class"]
                 )
+                # 'indices' must be GLOBAL dataset ids (the SELC table
+                # scatters by them); idx1 holds batch-local candidate
+                # positions, so map through the batch's own indices
+                global_idx = np.asarray(batch["indices"])[
+                    plan.arrays["idx1"][sel]
+                ]
                 sel_batch = {
                     "data": jnp.take(cands, jnp.asarray(sel), axis=0),
                     "target_ohe": jnp.take(cand_t, jnp.asarray(sel), axis=0),
-                    "indices": jnp.asarray(plan.arrays["idx1"][sel]),
+                    "indices": jnp.asarray(global_idx),
                 }
                 if mesh is not None:
                     sel_batch = put_batch(sel_batch)
@@ -646,7 +656,11 @@ def train_model(
                     if variability is not None and variability.steps:
                         plotters.plot_variability(variability, run_dir)
         if ckpt_mgr is not None and epoch % cfg.checkpoint_every == 0:
-            ckpt_mgr.save(step_count, state)
+            ckpt_mgr.save(
+                step_count, state,
+                metrics={"perf": perf.dict, "times": times,
+                         "lr_per_step": lr_per_step},
+            )
         if done:
             break
 

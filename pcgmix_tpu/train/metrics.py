@@ -21,28 +21,23 @@ from sklearn.metrics import (
 )
 
 
-def recording_level_eval(
+def aggregate_recordings(
     probs: np.ndarray,
-    labels: np.ndarray,
     wavs: Sequence,
     class_majority: bool = False,
-) -> dict:
-    """Aggregate per-segment probabilities into per-recording predictions and
-    compute the reference metric set.
-
-    probs: (N, C) softmax probabilities; labels: (N,); wavs: (N,) names.
-    """
+) -> "dict[object, tuple[int, np.ndarray, int]]":
+    """Per-recording decisions from per-segment probabilities: wav →
+    (pred, mean_probs, num_segments).  Mean-probability argmax by default;
+    '(class_majority)' votes per-segment argmaxes with ties going to
+    abnormal (train_model.py:621-646).  Shared by training eval and the
+    serving path."""
     by_wav: dict = {}
-    target_by_wav: dict = {}
-    for p, t, w in zip(probs, labels, wavs):
+    for p, w in zip(probs, wavs):
         by_wav.setdefault(w, []).append(p)
-        target_by_wav.setdefault(w, int(t))
-
-    wav_targets, wav_preds, wav_probs = [], [], []
+    out = {}
     for w, plist in by_wav.items():
         arr = np.asarray(plist)
         mean = arr.mean(axis=0)
-        wav_probs.append(mean)
         if class_majority:
             votes = np.bincount(arr.argmax(axis=1), minlength=arr.shape[1])
             pred = int(votes.argmax())
@@ -54,29 +49,69 @@ def recording_level_eval(
                 pred = 1
         else:
             pred = int(mean.argmax())
-        wav_preds.append(pred)
-        wav_targets.append(target_by_wav[w])
+        out[w] = (pred, mean, len(plist))
+    return out
 
-    wav_targets = np.asarray(wav_targets)
-    wav_preds = np.asarray(wav_preds)
-    wav_probs = np.asarray(wav_probs)
+
+def recording_level_eval(
+    probs: np.ndarray,
+    labels: np.ndarray,
+    wavs: Sequence,
+    class_majority: bool = False,
+) -> dict:
+    """Aggregate per-segment probabilities into per-recording predictions and
+    compute the reference metric set.
+
+    probs: (N, C) softmax probabilities; labels: (N,); wavs: (N,) names.
+    The reference protocol is binary; with num_classes > 2 the
+    class-specific rows (specificity/sensitivity/AUC) fall back to macro
+    averages / NaN instead of crashing after a full epoch of training.
+    """
+    target_by_wav: dict = {}
+    for t, w in zip(labels, wavs):
+        target_by_wav.setdefault(w, int(t))
+    agg = aggregate_recordings(probs, wavs, class_majority)
+    wav_targets = np.asarray([target_by_wav[w] for w in agg])
+    wav_preds = np.asarray([agg[w][0] for w in agg])
+    wav_probs = np.asarray([agg[w][1] for w in agg])
 
     acc = float(np.mean(wav_targets == wav_preds) * 100.0)
-    tn, fp, fn, tp = confusion_matrix(wav_targets, wav_preds, labels=[0, 1]).ravel()
-    out = {
-        "test_accuracy": acc,
-        "test_specificity": float(tn / max(tn + fp, 1) * 100.0),
-        "test_sensitivity": float(tp / max(tp + fn, 1) * 100.0),
-        "test_f1": float(f1_score(wav_targets, wav_preds, zero_division=0)),
-        "test_precision": float(
-            precision_score(wav_targets, wav_preds, zero_division=0)
-        ),
-        "test_recall": float(recall_score(wav_targets, wav_preds, zero_division=0)),
-    }
-    try:
-        out["test_rocauc"] = float(roc_auc_score(wav_targets, wav_probs[:, 1]))
-    except ValueError:  # single-class eval split (tiny synthetic data)
-        out["test_rocauc"] = float("nan")
+    num_classes = probs.shape[1]
+    out = {"test_accuracy": acc}
+    if num_classes == 2:
+        tn, fp, fn, tp = confusion_matrix(
+            wav_targets, wav_preds, labels=[0, 1]
+        ).ravel()
+        out.update({
+            "test_specificity": float(tn / max(tn + fp, 1) * 100.0),
+            "test_sensitivity": float(tp / max(tp + fn, 1) * 100.0),
+            "test_f1": float(f1_score(wav_targets, wav_preds, zero_division=0)),
+            "test_precision": float(
+                precision_score(wav_targets, wav_preds, zero_division=0)
+            ),
+            "test_recall": float(
+                recall_score(wav_targets, wav_preds, zero_division=0)
+            ),
+        })
+        try:
+            out["test_rocauc"] = float(roc_auc_score(wav_targets, wav_probs[:, 1]))
+        except ValueError:  # single-class eval split (tiny synthetic data)
+            out["test_rocauc"] = float("nan")
+    else:
+        kw = dict(average="macro", zero_division=0)
+        out.update({
+            "test_specificity": float("nan"),
+            "test_sensitivity": float("nan"),
+            "test_f1": float(f1_score(wav_targets, wav_preds, **kw)),
+            "test_precision": float(precision_score(wav_targets, wav_preds, **kw)),
+            "test_recall": float(recall_score(wav_targets, wav_preds, **kw)),
+        })
+        try:
+            out["test_rocauc"] = float(roc_auc_score(
+                wav_targets, wav_probs, multi_class="ovr"
+            ))
+        except ValueError:
+            out["test_rocauc"] = float("nan")
     return out
 
 

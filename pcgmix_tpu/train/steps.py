@@ -59,7 +59,17 @@ def make_optimizer(
         else:
             parts.append(optax.scale_by_adam())
     elif op == "SGD":
-        pass  # plain SGD: update is just the (decayed, clipped) gradient
+        if use_sched:
+            # torch constructs SGD with momentum=0 (train_model.py:405) but
+            # OneCycleLR (cycle_momentum default) overwrites the param-group
+            # momentum every step, cycling 0.95→0.85→0.95 inverse to lr —
+            # so scheduled SGD runs WITH cycled heavy-ball momentum
+            parts.append(
+                optax.inject_hyperparams(optax.trace)(
+                    decay=onecycle_beta1(num_steps)
+                )
+            )
+        # unscheduled SGD: update is just the (decayed, clipped) gradient
     else:
         raise ValueError(f"unknown optimizer {op!r} (use 'adam' or 'SGD')")
     parts.append(optax.scale_by_learning_rate(lr))

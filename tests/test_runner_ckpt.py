@@ -50,9 +50,11 @@ def test_checkpoint_resume(tmp_path):
     mgr.close()
     assert steps_before and steps_before > 0
     # a rerun of the SAME config restores the final checkpoint and has no
-    # remaining epochs to train — it must not repeat any work
+    # remaining epochs to train — it must not repeat any work, and the
+    # restored metric history keeps the full pre-resume training curve
     perf2 = train_model(cfg, DS, progress=False)
-    assert perf2["train_loss"] == []  # resumed past the last epoch
+    assert perf2["train_loss"] == perf1["train_loss"]
+    assert perf2["epochs"] == perf1["epochs"]
     mgr = CheckpointManager(ckdir)
     assert mgr.latest_step() == steps_before
     mgr.close()
@@ -108,7 +110,8 @@ def test_checkpoint_resume_under_dp_mesh(tmp_path):
     ckdir = os.path.join(experiment_dir(cfg), "checkpoints")
     assert os.path.isdir(ckdir)
     perf2 = train_model(cfg, DS, progress=False)
-    assert perf2["train_loss"] == []  # resumed past the last epoch
+    # resumed past the last epoch: no retraining, history restored
+    assert perf2["train_loss"] == perf1["train_loss"]
 
 
 def test_results_cli_reads_grid(tmp_path, capsys):

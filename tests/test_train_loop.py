@@ -128,3 +128,16 @@ def test_eval_staging_not_cached_on_dataset(tiny_dataset):
         perfs[0]["test_loss"], perfs[1]["test_loss"], rtol=1e-5
     )
     assert perfs[0]["test_accuracy"] == perfs[1]["test_accuracy"]
+
+
+def test_lc_nointrusion_with_selc_trains(tiny_dataset):
+    """lc-nointrusion + SELC: the selected candidates' 'indices' must be
+    GLOBAL dataset ids for the SELC table scatter (regression: batch-local
+    candidate positions corrupted rows 0..B-1 of the soft-label table)."""
+    cfg = TrainConfig(
+        model="resnet9-5k", method="lc-nointrusionSELC", num_epochs=3,
+        batch_size=8, sig_len=512, save_artifacts=False,
+        loader_parity="numpy",
+    )
+    perf = train_model(cfg, tiny_dataset)
+    assert np.isfinite(perf["train_loss"]).all()

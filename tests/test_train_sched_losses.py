@@ -85,3 +85,47 @@ def jax_softmax(x):
     import jax
 
     return jax.nn.softmax(x, axis=1)
+
+
+def test_sgd_onecycle_cycles_momentum_like_torch():
+    """torch builds SGD with momentum=0 but OneCycleLR overwrites the
+    param-group momentum every step (cycle_momentum default), so scheduled
+    SGD trains WITH cycled heavy-ball momentum — our optax chain must
+    reproduce the full update sequence (regression: momentum was absent)."""
+    import torch
+
+    import jax.numpy as jnp
+    from pcgmix_tpu.train.steps import make_optimizer
+
+    num_steps = 12
+    lr_max, wd = 0.01, 1e-4
+    g_np = np.linspace(0.5, -0.5, num_steps).astype(np.float32)
+
+    # torch side: exactly the reference construction (train_model.py:405,:410)
+    w_t = torch.nn.Parameter(torch.tensor([1.0]))
+    opt = torch.optim.SGD([w_t], lr=lr_max, weight_decay=wd)
+    sched = torch.optim.lr_scheduler.OneCycleLR(
+        opt, max_lr=lr_max, total_steps=num_steps
+    )
+    torch_traj = []
+    for g in g_np:
+        opt.zero_grad()
+        w_t.grad = torch.tensor([float(g)])
+        # torch applies weight decay inside the step; grad clip value 0.1
+        torch.nn.utils.clip_grad_value_([w_t], 0.1)
+        opt.step()
+        sched.step()
+        torch_traj.append(float(w_t.detach()))
+
+    tx = make_optimizer("SGD", lr_max, wd, 0.1, num_steps, use_sched=True)
+    params = {"w": jnp.asarray([1.0])}
+    state = tx.init(params)
+    ours_traj = []
+    import optax
+
+    for g in g_np:
+        updates, state = tx.update({"w": jnp.asarray([g])}, state, params)
+        params = optax.apply_updates(params, updates)
+        ours_traj.append(float(params["w"][0]))
+
+    np.testing.assert_allclose(ours_traj, torch_traj, rtol=1e-5, atol=1e-7)
