@@ -166,8 +166,11 @@ class AugmentEngine:
         self.spec: MethodSpec = parse_method(cfg.method, spectrogram=cfg.spectrogram)
         # Mirror of the ambient NumPy stream: seeded once per run with
         # seed_fix=4 (train_model.py:222), consumed by the handlers that draw
-        # from the global stream without reseeding (timewarp/magnitudewarp/
-        # gaussiannoise), reset by every get_lambda (np.random.seed(step)).
+        # from the global stream without reseeding (timewarp/magnitudewarp),
+        # reset by every get_lambda (np.random.seed(step)).  gaussiannoise
+        # draws its SNR here too, but that one is DISTRIBUTIONAL only — the
+        # reference's audiomentations draws from the stdlib random stream
+        # (see PARITY.md).
         self.np_stream = np.random.RandomState(4)
         self._noise_key = jax.random.PRNGKey(4)
 
@@ -786,6 +789,14 @@ class AugmentEngine:
         snapshot of the mirror NumPy stream / noise key so a gated-off step
         consumes no RNG (matching the reference, which skips the handler
         entirely).  Treat the returned dict as read-only."""
+        if self.spec.base in ("lc-nointrusion", "saliency-cutmix"):
+            # these methods change the batch row count / build pieces from
+            # model-dependent bins — an arange identity rewrite would be
+            # shape-inconsistent (lc) or zero the batch (saliency-cutmix).
+            # The scan path excludes them (train/loop.py use_resident).
+            raise NotImplementedError(
+                f"identity plans are not defined for {self.spec.base!r}"
+            )
         cache = getattr(self, "_identity_cache", None)
         if cache is None:
             cache = self._identity_cache = {}
@@ -897,9 +908,7 @@ class AugmentEngine:
                 out = magnitude_warp(out, arrays["knots"])
             if base == "durmixrespscale":
                 out = out * arrays["sinusoid"]
-            if base in ("durmixtimemask", "durmixcutout"):
-                out = self._apply_mask_2d(out, arrays)
-            elif base == "durmixfreqmask":
+            if base in ("durmixtimemask", "durmixcutout", "durmixfreqmask"):
                 out = self._apply_mask_2d(out, arrays)
             return out, target_ohe
         if base in ("durratiocutmix", "(UMC-subset)durratiocutmix",

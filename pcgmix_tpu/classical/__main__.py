@@ -74,10 +74,21 @@ def main(argv=None) -> int:
                 f"Re-run with --start-counter to resume past it, or delete "
                 f"it to start over."
             )
-        prev = (
-            pd.read_csv(partial_path)
-            if args.start_counter and os.path.exists(partial_path) else None
-        )
+        prev = None
+        prev_path = os.path.join(args.out_dir, "features.partial.prev.csv")
+        if args.start_counter and os.path.exists(partial_path):
+            prev = pd.read_csv(partial_path)
+            if os.path.exists(prev_path):
+                # a third resume: fold the older checkpoint in too
+                older = pd.read_csv(prev_path)
+                keep = ~older.set_index(["wav", "segment", "split"]).index.isin(
+                    prev.set_index(["wav", "segment", "split"]).index
+                )
+                prev = pd.concat([older[keep], prev], ignore_index=True)
+            # preserve the merged history: the re-extraction overwrites
+            # features.partial.csv with only the NEW rows, so a second crash
+            # must not orphan the earlier checkpointed segments
+            prev.to_csv(prev_path, index=False)
         dataset = utils.file2dict(args.dataset_file)
         splits = [s for s in ("train", "test") if s in dataset]
         feats = extract_features(
@@ -91,8 +102,9 @@ def main(argv=None) -> int:
             )]
             feats = pd.concat([done, feats], ignore_index=True)
         feats.to_csv(feats_path, index=False)
-        if os.path.exists(partial_path):
-            os.remove(partial_path)
+        for stale in (partial_path, prev_path):
+            if os.path.exists(stale):
+                os.remove(stale)
     print(f"{len(feats)} segments x {len(feats.columns)} columns",
           file=sys.stderr)
 

@@ -19,10 +19,17 @@ from scipy.fft import dct
 from pcgmix_tpu.ops.spectrogram import hann_periodic, mel_filterbank
 
 
-def frame_signal(y: np.ndarray, frame_length: int, hop_length: int) -> np.ndarray:
-    """Centered frames with reflect padding: (frame_length, n_frames)."""
+def frame_signal(y: np.ndarray, frame_length: int, hop_length: int,
+                 pad_mode: str = "reflect") -> np.ndarray:
+    """Centered frames, librosa-style padding: (frame_length, n_frames).
+
+    np.pad 'reflect' handles pad > len(y) via repeated reflection for any
+    len(y) >= 2 — exactly what librosa.stft does for short segments; only a
+    length-<2 signal needs the constant fallback."""
     pad = frame_length // 2
-    ypad = np.pad(y, pad, mode="reflect" if len(y) > pad else "constant")
+    if pad_mode == "reflect" and len(y) < 2:
+        pad_mode = "constant"
+    ypad = np.pad(y, pad, mode=pad_mode)
     n_frames = 1 + (len(ypad) - frame_length) // hop_length
     idx = np.arange(frame_length)[:, None] + hop_length * np.arange(n_frames)[None, :]
     return ypad[idx]
@@ -36,8 +43,12 @@ def stft_mag(y: np.ndarray, n_fft: int, hop_length: int) -> np.ndarray:
 
 
 def rms(y: np.ndarray, frame_length: int, hop_length: int) -> np.ndarray:
-    """librosa.feature.rms: per-frame root-mean-square (center-padded)."""
-    frames = frame_signal(y.astype(np.float64), frame_length, hop_length)
+    """librosa.feature.rms: per-frame root-mean-square.  Unlike the STFT
+    path, rms center-pads with ZEROS (librosa 0.9.2 pad_mode='constant' —
+    the reference's classical.py:879-883 relies on that)."""
+    frames = frame_signal(
+        y.astype(np.float64), frame_length, hop_length, pad_mode="constant"
+    )
     return np.sqrt(np.mean(frames**2, axis=0))
 
 
@@ -66,7 +77,9 @@ def spectral_bandwidth(y, sr, n_fft, hop_length, p: float = 2.0) -> np.ndarray:
 
 
 def spectral_flatness(y, n_fft, hop_length, amin: float = 1e-10) -> np.ndarray:
-    S = np.maximum(stft_mag(y, n_fft, hop_length), amin) ** 2.0
+    # librosa floors the POWER spectrum at amin (np.maximum(amin, S**2)),
+    # not the magnitude — matters for near-silent frames
+    S = np.maximum(stft_mag(y, n_fft, hop_length) ** 2.0, amin)
     gmean = np.exp(np.mean(np.log(S), axis=0))
     return gmean / np.mean(S, axis=0)
 
@@ -153,10 +166,11 @@ def melspectrogram_np(y, sr, n_fft, hop_length, n_mels: int = 128) -> np.ndarray
 
 
 def mfcc(y, sr, n_fft, hop_length, n_mfcc: int = 13) -> np.ndarray:
-    """librosa.feature.mfcc defaults: dct-II(ortho) of the dB mel spectrum."""
+    """librosa.feature.mfcc defaults: dct-II(ortho) of power_to_db(mel)
+    with ref=1.0 (power_to_db's default — NOT ref=max, which would shift
+    every dB value by the signal's peak energy), amin=1e-10, top_db=80."""
     mel = melspectrogram_np(y, sr, n_fft, hop_length)
-    ref = np.max(mel) if mel.size else 1.0
-    db = 10.0 * np.log10(np.maximum(mel, 1e-10) / np.maximum(ref, 1e-10))
+    db = 10.0 * np.log10(np.maximum(mel, 1e-10))
     db = np.maximum(db, db.max() - 80.0)
     return dct(db, axis=0, type=2, norm="ortho")[:n_mfcc]
 

@@ -247,13 +247,14 @@ def run_experiment(
     selected = list(order["features"].head(kb_num).values)
 
     results = []
+    test = fts[fts["split"] == "test"]
+    x_tr = train[selected].to_numpy()
+    x_te = test[selected].to_numpy()
+    y_te_seg = test["class"].to_numpy().astype(int)
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
         for clf, clf_name, abbrv in _make_classifiers(seed):
-            test = fts[fts["split"] == "test"]
-            x_tr = train[selected].to_numpy()
-            x_te = test[selected].to_numpy()
-            y_te = test["class"].to_numpy().astype(int)
+            y_te = y_te_seg
             clf.fit(x_tr, y_train)
             pred = clf.predict(x_te)
             proba = clf.predict_proba(x_te)

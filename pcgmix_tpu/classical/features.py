@@ -68,7 +68,7 @@ def feature_vector_seg(
     dur = {k: int(len(v) * 1000 / FS) for k, v in parts.items()}
     vec["BPM"] = round(60000 / dur["RR"], 4)
     for k in STATES:
-        vec[f"Dur_{k}" if k != "RR" else "Dur_RR"] = dur[k]
+        vec[f"Dur_{k}"] = dur[k]
     for a, b in [("S1", "RR"), ("Sys", "RR"), ("S2", "RR"), ("Dia", "RR"),
                  ("S1", "S2"), ("Sys", "Dia"), ("Sys", "S1"), ("Dia", "S2")]:
         vec[f"Dur_Ratio_{a}{b}"] = round(dur[a] / dur[b], 4)
