@@ -165,12 +165,17 @@ def bench_mode(train_ds, compute_dtype, windows: int = WINDOWS,
         multi = make_multi_step(step)
 
     def run_steps(n, start):
+        """Returns the number of steps actually DISPATCHED: with scan_k>1 a
+        trailing partial chunk is planned but never executed and must not be
+        credited in the rate (today MEASURE_STEPS % SCAN_K == 0, so this is
+        a guard, not a behavior change)."""
         nonlocal state
         it = EpochIterator(
             train_ds, BATCH, seed=1, step_count=start, parity="numpy",
             materialize_data=False,
         )
         count = 0
+        executed = 0
         if scan_k > 1:
             buf_i, buf_p, buf_s = [], [], []
             for batch in it:
@@ -192,6 +197,7 @@ def bench_mode(train_ds, compute_dtype, windows: int = WINDOWS,
                         jnp.asarray(buf_s), 1, key,
                     )
                     buf_i, buf_p, buf_s = [], [], []
+                    executed += scan_k
                 if count >= n:
                     break
         else:
@@ -206,10 +212,11 @@ def bench_mode(train_ds, compute_dtype, windows: int = WINDOWS,
                     jax.random.fold_in(key, sc),
                 )
                 count += 1
+                executed += 1
                 if count >= n:
                     break
         jax.block_until_ready(state.params)
-        return count
+        return executed
 
     run_steps(max(3, scan_k), 0)  # warmup / compile
     _log("compiled; measuring")
