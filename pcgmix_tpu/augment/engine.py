@@ -801,7 +801,11 @@ class AugmentEngine:
         if cache is None:
             cache = self._identity_cache = {}
         B = len(labels)
-        if B not in cache:
+        # key on frames geometry too: a full-variant engine (27-wide frames)
+        # and a cycle engine (5-wide) at the same batch size must not share
+        # an identity template — the piece counts differ.
+        fkey = (B, np.asarray(frames).shape[-1])
+        if fkey not in cache:
             np_state = self.np_stream.get_state()
             noise_key = self._noise_key
             try:
@@ -809,8 +813,8 @@ class AugmentEngine:
             finally:
                 self.np_stream.set_state(np_state)
                 self._noise_key = noise_key
-            cache[B] = self._identity_arrays(forced.arrays, B)
-        return cache[B]
+            cache[fkey] = self._identity_arrays(forced.arrays, B)
+        return cache[fkey]
 
     def _identity_arrays(self, arrays: dict, batch: int) -> dict:
         """Rewrite a plan's arrays so apply() is the identity."""

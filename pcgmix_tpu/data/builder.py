@@ -79,15 +79,20 @@ def parse_springer_mat(path: str) -> tuple[np.ndarray, list[str]]:
     m = loadmat(path, simplify_cells=True)
     key = next(k for k in m if not k.startswith("__"))
     rows = m[key]
-    frames = np.array([int(np.ravel(r[0])[0]) - 1 for r in rows])  # 1-based → 0
+    # NOTE: the .mat frame values are 1-based sample indices, and the
+    # reference uses them AS-IS (databuilder.ipynb cell 25 never subtracts
+    # 1) — parity means keeping that convention.
+    frames = np.array([int(np.ravel(r[0])[0]) for r in rows])
     states = [str(np.ravel(r[1])[0]).strip("()'\" ") for r in rows]
     return frames, states
 
 
 def parse_umc_state_trace(path: str) -> tuple[np.ndarray, list[str]]:
     """UMC per-recording state traces: a text file of per-sample state codes
-    1..4 (S1, systole, S2, diastole); transitions become the (frame, state)
-    stream (databuilder.ipynb cell 14)."""
+    1..4 (S1, systole, S2, diastole); state *transitions* become the
+    (frame, state) stream (databuilder.ipynb cell 14:
+    ``np.where(states[:-1] != states[1:]) + 1`` — the first, always-clipped
+    state run carries no transition and is never a cycle start)."""
     trace = np.loadtxt(path).astype(int).ravel()
     bad = (trace < 1) | (trace > 4)
     if bad.any():
@@ -96,10 +101,8 @@ def parse_umc_state_trace(path: str) -> tuple[np.ndarray, list[str]]:
             f"found {sorted(set(trace[bad].tolist()))} — unsegmented/noise "
             "samples must be handled upstream, not silently mislabeled"
         )
-    change = np.flatnonzero(np.diff(trace)) + 1
-    starts = np.concatenate([[0], change])
-    frames = starts
-    states = [STATE_NAMES[trace[s] - 1] for s in starts]
+    frames = np.flatnonzero(np.diff(trace)) + 1
+    states = [STATE_NAMES[trace[s] - 1] for s in frames]
     return frames, states
 
 
@@ -123,16 +126,17 @@ def slice_cycles(
     y: np.ndarray, cycle_frames: Iterable[np.ndarray], sig_len: int
 ) -> tuple[np.ndarray, np.ndarray]:
     """Cut [start, end] windows, re-zero the frame origin, zero-pad to
-    sig_len (databuilder.ipynb cell 25's final packing).
+    sig_len (databuilder.ipynb cell 25's final packing; over-long cycles are
+    *truncated and kept* with unclipped frames — the reference's
+    ``seg_y.resize(2500)`` semantics, not a drop).
 
     Returns (cycles (N, sig_len), frames (N, 5))."""
     sigs, frames = [], []
     for f in cycle_frames:
         seg = y[f[0] : f[4]]
-        if len(seg) > sig_len:
-            continue  # cycle longer than the canvas — skipped upstream too
         buf = np.zeros(sig_len, np.float32)
-        buf[: len(seg)] = seg
+        m = min(len(seg), sig_len)
+        buf[:m] = seg[:m]
         sigs.append(buf)
         frames.append(f - f[0])
     if not sigs:
@@ -355,26 +359,78 @@ def build_spectrogram_dataset(
 
 def main(argv=None):
     p = argparse.ArgumentParser(
-        description="Build packed dataset dicts from raw wavs + annotations"
+        description=(
+            "Build packed dataset dicts.  Two modes: --corpus ingests a "
+            "reference-layout corpus tree (PhysioNet-2016 / UMC, "
+            "databuilder.ipynb parity — pre-filtered band wavs, per-subset "
+            "REFERENCE_withSQI.csv, hardcoded train normalization stats "
+            "applied by default); the generic mode builds from a flat "
+            "directory of raw signals + annotations."
+        )
     )
-    p.add_argument("--wav-dir", required=True, help="directory of .npy/.wav signals")
-    p.add_argument("--ann-dir", required=True, help="StateAns .mat / state .txt dir")
-    p.add_argument("--labels-csv", required=True, help="csv: wav,label,sig_qual")
+    p.add_argument(
+        "--corpus",
+        choices=[
+            "physionet-1d", "physionet-full", "physionet-spec128",
+            "umc-1d", "umc-spec128", "umc-spec64",
+        ],
+        help="reference-layout corpus build (use with --root)",
+    )
+    p.add_argument("--root", help="corpus root directory (--corpus mode)")
+    p.add_argument(
+        "--train-wavs",
+        help="recording-list txt restricting the spectrogram train side "
+        "(the published nfrac=1.0 list; physionet-spec128 only)",
+    )
+    p.add_argument("--wav-dir", help="directory of .npy/.wav signals (generic mode)")
+    p.add_argument("--ann-dir", help="StateAns .mat / state .txt dir (generic mode)")
+    p.add_argument("--labels-csv", help="csv: wav,label,sig_qual (generic mode)")
     p.add_argument("--out", required=True, help="output .dat (zlib pickle)")
     p.add_argument(
         "--kind", choices=["1d", "full", "spec128", "spec64"], default="1d"
     )
     p.add_argument("--sr-in", type=int, default=2000)
+    p.add_argument(
+        "--normalize",
+        choices=["physionet", "umc", "none"],
+        default="physionet",
+        help="per-band standardization stats for generic 1d/full builds "
+        "(default: the reference's hardcoded PhysioNet train stats, "
+        "databuilder.ipynb cell 21)",
+    )
     args = p.parse_args(argv)
 
+    if args.corpus:
+        from pcgmix_tpu.data import corpus as _corpus
+
+        if not args.root:
+            p.error("--corpus requires --root")
+        _corpus.build_corpus(args.corpus, args.root, args.out, args.train_wavs)
+        return
+
+    if not (args.wav_dir and args.ann_dir and args.labels_csv):
+        p.error("generic mode requires --wav-dir, --ann-dir and --labels-csv")
+
     import csv
+
+    from pcgmix_tpu.data.corpus import (
+        PHYSIONET_PC_STATS, UMC_PC_STATS, read_wav,
+    )
 
     recs = {}
     with open(args.labels_csv) as f:
         for row in csv.DictReader(f):
             name = row["wav"]
-            sig_path = os.path.join(args.wav_dir, name + ".npy")
-            y = np.load(sig_path)
+            npy_path = os.path.join(args.wav_dir, name + ".npy")
+            wav_path = os.path.join(args.wav_dir, name + ".wav")
+            if os.path.exists(npy_path):
+                y = np.load(npy_path)
+            elif os.path.exists(wav_path):
+                y, sr = read_wav(wav_path, sr=args.sr_in)
+            else:
+                raise FileNotFoundError(
+                    f"no {name}.npy or {name}.wav under {args.wav_dir}"
+                )
             mat = os.path.join(args.ann_dir, name + "_StateAns.mat")
             txt = os.path.join(args.ann_dir, name + ".txt")
             if os.path.exists(mat):
@@ -388,10 +444,13 @@ def main(argv=None):
                 "label": int(row["label"]),
                 "sig_qual": int(row.get("sig_qual", 1)),
             }
+    stats = {
+        "physionet": PHYSIONET_PC_STATS, "umc": UMC_PC_STATS, "none": None
+    }[args.normalize]
     if args.kind == "1d":
-        out = build_1d_dataset(recs, sr_in=args.sr_in)
+        out = build_1d_dataset(recs, sr_in=args.sr_in, normalize_stats=stats)
     elif args.kind == "full":
-        out = build_full_dataset(recs, sr_in=args.sr_in)
+        out = build_full_dataset(recs, sr_in=args.sr_in, normalize_stats=stats)
     else:
         size = 128 if args.kind == "spec128" else 64
         out = build_spectrogram_dataset(recs, sr_in=args.sr_in, size=size)

@@ -189,3 +189,22 @@ def plot_epoch_loss_gmm(loss_correct, loss_incorrect, epoch, run_dir) -> float:
     d = utils.check_folder(os.path.join(run_dir, "losses"))
     _save(fig, os.path.join(d, f"epoch_loss_dst_{epoch}.jpg"))
     return float(abs(means[1] - means[0]))
+
+
+def plot_m1(gmm_m1s, run_dir) -> str:
+    """M₁ (GMM mean-separation) trajectory over epochs with the maximum
+    marked (plotters.py:189-207) → m1.jpg.  gmm_m1s: one
+    plot_epoch_loss_gmm return value per epoch."""
+    m1s = [float(v) for v in gmm_m1s]
+    epochs = np.arange(1, len(m1s) + 1)
+    m1_max = max(m1s)
+    epoch_max = int(epochs[m1s.index(m1_max)])
+    fig = plt.figure(figsize=(6, 6))
+    plt.plot(epochs, m1s, label=r"$M_1$", color="rebeccapurple")
+    plt.scatter(epoch_max, m1_max, color="k", label=f"max@epoch {epoch_max}")
+    plt.ylim(bottom=0)
+    plt.xlabel("Epoch")
+    plt.ylabel(r"$M_1$")
+    plt.legend()
+    plt.grid()
+    return _save(fig, os.path.join(run_dir, "m1.jpg"))

@@ -60,12 +60,40 @@ class LatentSpace:
         """(B, D) embeddings (generate_latent_space, latent_space.py:43-47)."""
         return np.asarray(self._embed(jnp.asarray(data)))
 
+    @property
+    def variables(self) -> dict:
+        """The restored flax variable collections (for get_hidden_features)."""
+        return {"params": self._params, "batch_stats": self._batch_stats}
+
 
 def save_latent_space(dct: dict, split: str, step: int, results_dir: str) -> None:
     """Dump a {'fts', 'target'} dict to latent_space/latent_space_<split>_<step>.pkl
     (latent_space.py:49-52)."""
     d = utils.check_folder(os.path.join(results_dir, "latent_space"))
     utils.save_dict(dct, os.path.join(d, f"latent_space_{split}_{step}.pkl"))
+
+
+def get_hidden_features(model, variables, ds, *, batch_size: int = 256):
+    """Whole-split feature dump: returns (fts, trgts, confs, indcs)
+    (latent_space.py:66-90).
+
+    The reference's function targets 'hidden_rep'/'hidden_rep_to_confs'
+    pass_parts that no model in its repo still implements (it sits under an
+    '### OLD' marker); the live equivalent implemented here is
+    ``part='latent_space'`` features plus the full-forward logits as the
+    confidence head.  ds: an ArrayDataset (or anything with .data/.label).
+    """
+    fts_l, confs_l = [], []
+    n = len(ds.data)
+    for start in range(0, n, batch_size):
+        x = jnp.asarray(ds.data[start : start + batch_size])
+        fts_l.append(np.asarray(model.apply(variables, x, depth=0, part="latent_space")))
+        confs_l.append(np.asarray(model.apply(variables, x)))
+    fts = np.concatenate(fts_l) if fts_l else np.zeros((0, 0))
+    confs = np.concatenate(confs_l) if confs_l else np.zeros((0, 0))
+    trgts = list(np.asarray(ds.label))
+    indcs = list(range(n))
+    return fts, trgts, confs, indcs
 
 
 def dim_reduc_tsne(fts: np.ndarray, fts_new: np.ndarray, num_components: int = 2):
@@ -90,9 +118,14 @@ def dim_reduc_pca(fts: np.ndarray, fts_new: np.ndarray, num_components: int = 2)
     from sklearn.decomposition import PCA
 
     pca = PCA(n_components=num_components).fit(fts)
+    new_t = (
+        pca.transform(fts_new)
+        if len(fts_new)
+        else np.zeros((0, num_components))
+    )
     return (
         pca.transform(fts),
-        pca.transform(fts_new),
+        new_t,
         float(np.sum(pca.explained_variance_ratio_)),
     )
 
@@ -174,3 +207,109 @@ def plot_latent_space(
     plt.savefig(path)
     plt.close(fig)
     return path
+
+
+def plot_latent_space_test(
+    latent_features: dict,
+    split: str,
+    epoch: int,
+    num_classes: int,
+    method: str,
+    results_dir: str,
+    dim_reduc: str = "tsne",
+) -> str:
+    """Test-set-only variant (latent_space.py:197-240): one cloud, no
+    augmented points — the reference draws only the original features
+    regardless of method.  Returns the written png path."""
+    feats = {
+        "fts": np.asarray(latent_features["fts"]),
+        "trgts": np.asarray(
+            latent_features["target"]
+            if "target" in latent_features
+            else latent_features["trgts"]
+        ),
+    }
+    return plot_latent_space(
+        feats, split, epoch, num_classes, "base", results_dir, dim_reduc
+    )
+
+
+def _scatter_classes(plt, fts, trgts, num_classes, colors, marker, alpha, tag):
+    """Shared per-class scatter with centroid 'x' and medoid annotation
+    (the common body of the reference's three plot functions)."""
+    from scipy.spatial import distance_matrix
+
+    for lbl, color in zip(range(num_classes), colors):
+        pts = fts[np.asarray(trgts) == lbl]
+        if len(pts) == 0:
+            continue
+        med = int(np.argmin(distance_matrix(pts, pts).sum(axis=0)))
+        plt.scatter(
+            pts[:, 0], pts[:, 1], label=f"{lbl}{tag}",
+            facecolors="none", edgecolors=color, s=30, marker=marker, alpha=alpha,
+        )
+        plt.scatter(pts[:, 0].mean(), pts[:, 1].mean(), color=color, marker="x")
+        plt.annotate(str(lbl), (pts[med, 0], pts[med, 1]))
+
+
+def plot_latent_space_test_train(
+    latent_features_test: dict,
+    latent_features_train: dict,
+    split: str,
+    epoch: int,
+    num_classes: int,
+    method: str,
+    results_dir: str,
+    dim_reduc: str = "tsne",
+) -> tuple[str, str]:
+    """Joint test/train embedding (latent_space.py:242-311): reduce test
+    'fts' and train 'fts_new' together, normalize with the JOINT min/max,
+    then write two pngs — `{dim_reduc}_{split}(test)_{epoch}.png` (o marks)
+    and `{dim_reduc}_{split}(train)_{epoch}.png` (P marks, dark palette).
+    Returns both png paths."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fts_test = np.asarray(latent_features_test["fts"])
+    trgts_test = np.asarray(
+        latent_features_test.get("target", latent_features_test.get("trgts"))
+    )
+    fts_train = np.asarray(latent_features_train["fts_new"])
+    trgts_train = np.asarray(
+        latent_features_train.get("trgts_new", latent_features_train.get("target"))
+    )
+
+    if dim_reduc == "tsne":
+        fts_test, fts_train, expl = dim_reduc_tsne(fts_test, fts_train)
+    else:
+        fts_test, fts_train, expl = dim_reduc_pca(fts_test, fts_train)
+
+    lo = np.minimum(fts_test.min(axis=0), fts_train.min(axis=0))
+    hi = np.maximum(fts_test.max(axis=0), fts_train.max(axis=0))
+    rng = hi - lo
+    rng[rng == 0] = 1.0
+    fts_test = (fts_test - lo) / rng
+    fts_train = (fts_train - lo) / rng
+
+    out_dir = utils.check_folder(os.path.join(results_dir, "latent_space"))
+    paths = []
+    for tag, fts, trgts, colors, marker in (
+        ("test", fts_test, trgts_test, ("red", "blue"), "o"),
+        ("train", fts_train, trgts_train, ("darkred", "darkblue"), "P"),
+    ):
+        fig = plt.figure(figsize=(6, 6))
+        _scatter_classes(plt, fts, trgts, num_classes, colors, marker, 0.05,
+                         f" {tag}")
+        plt.grid()
+        plt.title(
+            f"{dim_reduc}; Data: {split}({tag}); Total explained variance: "
+            f"{round(expl, 3)}; Epoch: {epoch}"
+        )
+        plt.legend()
+        path = os.path.join(out_dir, f"{dim_reduc}_{split}({tag})_{epoch}.png")
+        plt.savefig(path)
+        plt.close(fig)
+        paths.append(path)
+    return tuple(paths)

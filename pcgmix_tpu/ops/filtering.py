@@ -2,12 +2,11 @@
 upstream signal path, SURVEY.md §2.2: "4th-order zero-phase band-pass IIR
 (Butterworth) per band + RMS normalization", then resampling to 1 kHz).
 
-Design: filter *design* stays on host (scipy, tiny), filter *application*
-runs in JAX — the IIR recurrence as a ``lax.scan`` over time carrying the
-direct-form-II-transposed state, vmapped over (batch, channels); the
-polyphase resampler as a strided FIR convolution (MXU-friendly).
-scipy.signal.filtfilt parity (default odd padding + lfilter_zi initial
-conditions) is exact to float tolerance and covered by tests.
+Design: the IIR path is an *offline builder* step whose parity target is
+scipy itself, so filter design AND application delegate to scipy on host
+(bit-identical to the reference's preprocessing by definition, and C-speed
+for real-corpus builds).  The polyphase resampler runs in JAX as a strided
+FIR convolution (MXU-friendly); both are covered by parity tests.
 """
 
 from __future__ import annotations
@@ -31,61 +30,26 @@ def butter_bandpass(lo: float, hi: float, fs: float, order: int = 4):
     return np.asarray(b), np.asarray(a)
 
 
-def _lfilter_scan(b, a, x, zi):
-    """Direct-form II transposed IIR filter along the last axis.
-
-    x: (..., T) float64 numpy; zi: (..., order) initial conditions (scipy
-    lfilter zi convention).  Runs as a vectorized NumPy time loop: the
-    recurrence needs float64 for scipy parity, and doing it on host avoids
-    toggling the process-global jax_enable_x64 flag (not thread-safe —
-    a concurrent fp32 trace on another thread would see f64 constants).
-    """
-    x = np.asarray(x, np.float64)
-    z = np.array(np.broadcast_to(zi, x.shape[:-1] + zi.shape[-1:]), np.float64)
-    y = np.empty_like(x)
-    for t in range(x.shape[-1]):
-        xt = x[..., t]
-        yt = b[0] * xt + z[..., 0]
-        z[..., :-1] = z[..., 1:] + b[1:-1, None].T * xt[..., None]             - a[1:-1, None].T * yt[..., None] if False else z[..., :-1]
-        # DF2T update (vectorized over leading dims)
-        z = np.concatenate(
-            [z[..., 1:], np.zeros_like(z[..., :1])], axis=-1
-        ) + b[1:] * xt[..., None] - a[1:] * yt[..., None]
-        y[..., t] = yt
-    return y
-
-
 def filtfilt(b: np.ndarray, a: np.ndarray, x) -> jax.Array:
     """Zero-phase filtering matching scipy.signal.filtfilt defaults
     (padtype='odd', padlen=3·max(len(a),len(b)), method='pad').
 
-    x: (..., T) with T > padlen.  The IIR recurrence accumulates rounding
-    error, so it runs in float64 NumPy on host (this is the offline
-    builder's path; scipy-parity demands f64, and host execution avoids the
-    process-global jax_enable_x64 flag) and casts back to the input dtype.
+    x: (..., T) with T > padlen.  Delegates to scipy.signal.filtfilt in
+    float64 on host — the parity target for the reference's offline
+    preprocessing ('raw_filtBandIIR(ZP)4-{band}' wav dirs) IS scipy, so
+    this is bit-identical by definition and runs at C speed for
+    real-corpus builds — then casts back to the input dtype.
     """
-    from scipy.signal import lfilter_zi
+    from scipy.signal import filtfilt as _scipy_filtfilt
 
     b = np.asarray(b, np.float64)
     a = np.asarray(a, np.float64)
-    ntaps = max(len(a), len(b))
-    padlen = 3 * ntaps
+    padlen = 3 * max(len(a), len(b))
     if x.shape[-1] <= padlen:
         raise ValueError(f"signal length {x.shape[-1]} must exceed padlen {padlen}")
-    zi = lfilter_zi(b, a)  # (order,)
-
     orig_dtype = x.dtype
-    x64 = np.asarray(x, np.float64)
-
-    # odd extension on both ends (scipy _validate_pad)
-    left = 2 * x64[..., :1] - x64[..., 1 : padlen + 1][..., ::-1]
-    right = 2 * x64[..., -1:] - x64[..., -padlen - 1 : -1][..., ::-1]
-    ext = np.concatenate([left, x64, right], axis=-1)
-
-    y = _lfilter_scan(b, a, ext, zi * ext[..., :1])
-    yr = y[..., ::-1]
-    y2 = _lfilter_scan(b, a, yr, zi * yr[..., :1])[..., ::-1]
-    return jnp.asarray(y2[..., padlen:-padlen], orig_dtype)
+    y = _scipy_filtfilt(b, a, np.asarray(x, np.float64), axis=-1)
+    return jnp.asarray(y, orig_dtype)
 
 def bandpass_filtfilt(
     x: jax.Array, lo: float, hi: float, fs: float, order: int = 4

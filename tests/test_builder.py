@@ -40,8 +40,10 @@ def test_parse_umc_state_trace(tmp_path):
     p = tmp_path / "rec.txt"
     np.savetxt(p, trace, fmt="%d")
     frames, states = parse_umc_state_trace(str(p))
-    assert states == ["S1", "systole", "S2", "diastole", "S1"]
-    np.testing.assert_array_equal(frames, [0, 50, 170, 210, 410])
+    # transition-only stream (cell 14): the first, always-clipped state run
+    # carries no transition and never becomes a cycle start
+    assert states == ["systole", "S2", "diastole", "S1"]
+    np.testing.assert_array_equal(frames, [50, 170, 210, 410])
 
 
 def test_slice_cycles_zero_pad():

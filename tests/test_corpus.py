@@ -1,0 +1,441 @@
+"""End-to-end tests for the reference-layout corpus ingestion
+(databuilder.ipynb cells 3, 5-7, 14, 21, 23, 25-26): a miniature fake corpus
+laid out exactly like PhysioNet-2016 / UMC drives `pcgmix-build --corpus`
+end-to-end, and the output .dat loads through physionet_split/umc_split →
+train_model unchanged."""
+
+import os
+
+import numpy as np
+import pytest
+from scipy.io import savemat, wavfile
+from scipy.signal import resample_poly
+
+from pcgmix_tpu.data import builder, corpus
+from pcgmix_tpu.data.corpus import (
+    PHYSIONET_PC_STATS,
+    PHYSIONET_SPEC_STATS,
+    UMC_PC_STATS,
+    UMC_SPEC_STATS,
+    read_wav,
+)
+from pcgmix_tpu.data.physionet import physionet_split
+from pcgmix_tpu.data.umc import umc_split
+from pcgmix_tpu.utils import file2dict
+
+SR_PHYS = 2000
+SR_UMC = 4000
+
+# (state name, duration at 2 kHz) — one 0.9 s cardiac cycle
+CYCLE_2K = (("S1", 280), ("systole", 480), ("S2", 240), ("diastole", 800))
+
+
+def _cycle_signal(n, label, sr, seed):
+    """Synthetic PCG: class-dependent S2 murmur so training can learn."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / sr
+    y = 0.05 * rng.standard_normal(n)
+    y += 0.3 * np.sin(2 * np.pi * 40 * t)
+    if label:
+        y += 0.4 * np.sin(2 * np.pi * 160 * t)
+    return np.clip(y, -0.99, 0.99).astype(np.float32)
+
+
+def _annotation_stream(n_samples, scale=1, with_noise=False):
+    """(frames, states) 1-based at the native rate, ending on a final S1."""
+    frames, states = [], []
+    pos = 101  # 1-based-ish start offset
+    while True:
+        cyc = [(s, d * scale) for s, d in CYCLE_2K]
+        end = pos + sum(d for _, d in cyc)
+        if end + 1 >= n_samples:
+            break
+        for s, d in cyc:
+            frames.append(pos)
+            states.append(s)
+            pos += d
+    frames.append(pos)
+    states.append("S1")  # the 5th boundary of the last full cycle
+    if with_noise and len(states) > 10:
+        states[6] = "(N"  # corrupt one S2 → that window must be skipped
+    return frames, states
+
+
+def _write_wav(path, y, sr):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    wavfile.write(path, sr, (np.asarray(y) * 32767).astype(np.int16))
+
+
+def _write_stateans(path, frames, states, key):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rows = np.empty((len(frames), 2), dtype=object)
+    for k, (f, s) in enumerate(zip(frames, states)):
+        rows[k, 0] = np.array([[float(f)]])
+        rows[k, 1] = np.array([s], dtype=object)
+    savemat(path, {key: rows})
+
+
+@pytest.fixture(scope="module")
+def physionet_root(tmp_path_factory):
+    """Fake PhysioNet-2016 tree: subsets a+b, 4 recordings each (2 train /
+    2 test per subset, both classes), one Springer-annotated (sig_qual=0)
+    recording, one noise-marked annotation."""
+    root = str(tmp_path_factory.mktemp("physionet"))
+    test_rows = []
+    for si, subset in enumerate("ab"):
+        ref_rows = []
+        for r in range(4):
+            wav = f"{subset}{r:04d}"
+            label01 = r % 2
+            cls = 1 if label01 else -1  # csv convention: -1 normal, 1 abnormal
+            sig_qual = 0 if (subset == "a" and r == 3) else 1
+            is_test = r >= 2
+            seconds = 6 + r % 2
+            n = SR_PHYS * seconds
+            y = _cycle_signal(n, label01, SR_PHYS, seed=100 * si + r)
+            frames, states = _annotation_stream(
+                n, with_noise=(subset == "b" and r == 0)
+            )
+            if sig_qual:
+                _write_stateans(
+                    os.path.join(
+                        root, "annotations", "hand_corrected",
+                        f"training-{subset}_StateAns", f"{wav}_StateAns.mat",
+                    ),
+                    frames, states, "state_ans",
+                )
+            else:
+                _write_stateans(
+                    os.path.join(
+                        root, "annotations", "springer_alg",
+                        f"training-{subset}-Aut", f"{wav}_StateAns0.mat",
+                    ),
+                    frames, states, "state_ans0",
+                )
+            _write_wav(
+                os.path.join(root, f"training-{subset}", "raw", f"{wav}.wav"),
+                y, SR_PHYS,
+            )
+            for band in corpus.PHYSIONET_BANDS:
+                # the corpus ships pre-filtered band wavs; for the fixture the
+                # per-band content is the base signal (the builder only reads)
+                _write_wav(
+                    corpus._physionet_band_wav(root, subset, wav, band),
+                    y, SR_PHYS,
+                )
+            ref_rows.append(f"{wav},{cls},{sig_qual}")
+            if is_test:
+                test_rows.append(f"{wav},{cls}")
+        csv_dir = os.path.join(root, "annotations", "updated", f"training-{subset}")
+        os.makedirs(csv_dir, exist_ok=True)
+        with open(os.path.join(csv_dir, "REFERENCE_withSQI.csv"), "w") as f:
+            f.write("\n".join(ref_rows) + "\n")
+    os.makedirs(os.path.join(root, "validation"), exist_ok=True)
+    with open(os.path.join(root, "validation", "REFERENCE.csv"), "w") as f:
+        f.write("\n".join(test_rows) + "\n")
+    return root
+
+
+@pytest.fixture(scope="module")
+def physionet_1d(physionet_root, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("out") / "phys1d.dat")
+    builder.main(["--corpus", "physionet-1d", "--root", physionet_root, "--out", out])
+    return file2dict(out)
+
+
+def test_physionet_1d_contract(physionet_1d):
+    d = physionet_1d
+    assert set(d) == {"train", "test"}
+    for split in d.values():
+        n = len(split["label"])
+        assert n > 0
+        assert set(split["data"]) == set(corpus.PHYSIONET_BANDS)
+        for arr in split["data"].values():
+            assert arr.shape == (n, 2500)
+        assert split["frames"].shape == (n, 5)
+        assert np.all(split["frames"][:, 0] == 0)
+        assert np.all(np.diff(split["frames"], axis=1) > 0)
+    # test split = exactly the validation/REFERENCE.csv recordings
+    test_wavs = {w for w in d["test"]["wav"]}
+    assert test_wavs == {"a0002", "a0003", "b0002", "b0003"}
+    assert not test_wavs & set(d["train"]["wav"])
+    # springer-annotated recording (sig_qual=0) made it in, flagged
+    sq0 = d["test"]["sig_qual"][d["test"]["wav"] == "a0003"]
+    assert len(sq0) and np.all(sq0 == 0)
+
+
+def test_physionet_1d_noise_skips_cycles(physionet_1d):
+    """b0000's annotation has one '(N' state: exactly one window skipped."""
+    d = physionet_1d
+    per_wav = {w: np.sum(d["train"]["wav"] == w) for w in ("a0000", "b0000")}
+    # a0000 is 6 s (same geometry, clean) → b0000 must have one fewer cycle
+    assert per_wav["b0000"] == per_wav["a0000"] - 1
+
+
+def test_physionet_1d_normalization_oracle(physionet_root, physionet_1d):
+    """Row 0 of each band equals the hand-computed chain: decode wav at
+    2 kHz → polyphase 2→1 kHz → (y−μ)/σ with the cell-21 stats → slice."""
+    d = physionet_1d["train"]
+    i = 0
+    wav, f = d["wav"][i], d["frames"][i]
+    # recover this cycle's absolute 1 kHz start from the annotation
+    frames, states = corpus.load_physionet_annotation(
+        physionet_root, wav[0], wav, int(d["sig_qual"][i])
+    )
+    starts = corpus.scan_cycle_starts(states, wav)
+    fr1k = [x // 2 for x in frames]
+    s0 = fr1k[starts[0]]
+    for band in ("25-45", "25-1000"):
+        y, _ = read_wav(
+            corpus._physionet_band_wav(physionet_root, wav[0], wav, band),
+            sr=SR_PHYS,
+        )
+        y1k = resample_poly(y.astype(np.float64), 1, 2).astype(np.float32)
+        mu, sd = PHYSIONET_PC_STATS[band]
+        expect = (y1k[s0 : s0 + int(f[4])] - mu) / sd
+        got = d["data"][band][i, : int(f[4])]
+        np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6)
+        assert np.all(d["data"][band][i, int(f[4]):] == 0)
+
+
+def test_physionet_1d_trains_end_to_end(physionet_1d):
+    """The built .dat drives physionet_split → train_model unchanged."""
+    from pcgmix_tpu.train import TrainConfig, train_model
+
+    cfg = TrainConfig(
+        dataset="PhysioNet", model="resnet9-5k", method="durratiomixup",
+        num_epochs=2, batch_size=8, sig_len=2500,
+        save_artifacts=False, loader_parity="numpy",
+    )
+    perf = train_model(cfg, physionet_1d)
+    assert np.isfinite(perf["train_loss"]).all()
+    assert len(perf["test_accuracy"]) >= 1
+
+
+def test_physionet_full_corpus(physionet_root, tmp_path):
+    out = str(tmp_path / "full.dat")
+    builder.main(
+        ["--corpus", "physionet-full", "--root", physionet_root, "--out", out]
+    )
+    d = file2dict(out)
+    for split in d.values():
+        n = len(split["label"])
+        assert n > 0
+        assert split["frames"].shape == (n, 28)
+        for arr in split["data"].values():
+            assert arr.shape == (n, 2500)
+            # full windows carry real signal to the edge (no zero tail)
+            assert np.abs(arr[:, -100:]).max() > 0
+        # −1 padding after the last real boundary
+        assert np.all((split["frames"] >= -1) & (split["frames"] <= 2500))
+        assert np.all(split["frames"][:, -1] == -1) or np.any(
+            split["frames"][:, -1] >= 0
+        )
+
+
+def test_physionet_spec_corpus(physionet_root, tmp_path):
+    out = str(tmp_path / "spec.dat")
+    builder.main(
+        ["--corpus", "physionet-spec128", "--root", physionet_root, "--out", out]
+    )
+    d = file2dict(out)
+    for split in d.values():
+        n = len(split["label"])
+        assert n > 0
+        assert split["data"].shape == (n, 128, 128)
+        assert split["frames"].shape == (n, 5)
+        assert np.all(split["frames"] <= 128)
+        assert np.isfinite(split["data"]).all()
+    # standardization applied: values centered near 0, not raw dB (≈ −60)
+    assert abs(float(np.mean(d["train"]["data"]))) < 5.0
+
+
+def test_physionet_spec_train_wavs_restriction(physionet_root, tmp_path):
+    lst = tmp_path / "train_list.txt"
+    lst.write_text("a0000\nb0001\n")
+    out = str(tmp_path / "spec_sel.dat")
+    builder.main(
+        ["--corpus", "physionet-spec128", "--root", physionet_root,
+         "--out", out, "--train-wavs", str(lst)]
+    )
+    d = file2dict(out)
+    assert set(d["train"]["wav"]) == {"a0000", "b0001"}
+    assert set(d["test"]["wav"]) == {"a0002", "a0003", "b0002", "b0003"}
+
+
+def test_train_selection_derivation(physionet_1d):
+    sel = corpus.physionet_train_selection(physionet_1d)
+    assert sel and set(sel) <= set(physionet_1d["train"]["wav"])
+
+
+def test_read_train_wavs_file(tmp_path):
+    p = tmp_path / "lst.txt"
+    p.write_text("a0001, a0002\n'b0003'\n")
+    assert corpus.read_train_wavs_file(str(p)) == ["a0001", "a0002", "b0003"]
+
+
+# ---------------------------------------------------------------------------
+# UMC
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def umc_root(tmp_path_factory):
+    """Fake UMC tree: real patient ids from the hardcoded folds so
+    umc_split's 10-fold CV applies; ID_013 is in the noisy list, ID_17 in
+    the excluded list."""
+    root = str(tmp_path_factory.mktemp("umc"))
+    layout = {
+        "DKMP_OLD": [("2", "2_1_states.txt"), ("19", "19_1_states.txt"),
+                     ("17", "17_1_states.txt")],
+        "RKMP_OLD": [("1", "1_1_states.txt"), ("16", "16_1_states.txt")],
+        "DKMP_UMC": [("002", "002_1_a_states.txt")],
+        "RKMP_UMC": [("013", "013_1_a_states.txt")],
+    }
+    for ds, entries in layout.items():
+        label01 = 1 if ds.startswith("DKMP") else 0
+        for k, (pid, fname) in enumerate(entries):
+            n = SR_UMC * 3
+            # per-sample state trace at 4 kHz
+            frames, states = _annotation_stream(n, scale=2)
+            trace = np.zeros(n, np.int64)
+            code = {"S1": 1, "systole": 2, "S2": 3, "diastole": 4}
+            # fill from the stream (first run = diastole lead-in)
+            trace[: frames[0]] = 4
+            for j in range(len(frames) - 1):
+                trace[frames[j] : frames[j + 1]] = code[states[j]]
+            trace[frames[-1]:] = 1
+            seg_path = os.path.join(root, ds, "segments", fname)
+            os.makedirs(os.path.dirname(seg_path), exist_ok=True)
+            np.savetxt(seg_path, trace, fmt="%d")
+            nfields = 2 if ds.endswith("_OLD") else 3
+            rec = "_".join(fname.split("_")[:nfields])
+            y = _cycle_signal(n, label01, SR_UMC, seed=sum(map(ord, rec)))
+            _write_wav(os.path.join(root, ds, "raw", f"{rec}.wav"), y, SR_UMC)
+            for band in corpus.UMC_BANDS:
+                _write_wav(
+                    os.path.join(
+                        root, ds, f"raw_filtBandIIR(ZP)4-{band}_normRMS",
+                        f"{rec}_filtBandIIR(ZP)4-{band}_normRMS.wav",
+                    ),
+                    y, SR_UMC,
+                )
+    return root
+
+
+@pytest.fixture(scope="module")
+def umc_1d(umc_root, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("out") / "umc1d.dat")
+    builder.main(["--corpus", "umc-1d", "--root", umc_root, "--out", out])
+    return file2dict(out)
+
+
+def test_umc_1d_contract(umc_1d):
+    d = umc_1d
+    n = len(d["label"])
+    assert n > 0
+    assert set(d["data"]) == set(corpus.UMC_BANDS)
+    for arr in d["data"].values():
+        assert arr.shape == (n, 2000)
+    assert d["frames"].shape == (n, 5)
+    # cell-14 polarity: DKMP→0, RKMP→1 (flipped later by the loader's ^1)
+    assert np.all(d["label"][d["id"] == "ID_2"] == 0)
+    assert np.all(d["label"][d["id"] == "ID_1"] == 1)
+    # noisy/excluded flags from the hardcoded id lists
+    assert np.all(d["sig_qual"][d["id"] == "ID_013"] == 0)
+    assert np.all(d["excluded"][d["id"] == "ID_17"] == 0)
+    assert np.all(d["excluded"][d["id"] == "ID_2"] == 1)
+
+
+def test_umc_1d_normalization_oracle(umc_root, umc_1d):
+    d = umc_1d
+    i = int(np.flatnonzero(d["id"] == "ID_2")[0])
+    rec, f = d["wav"][i], d["frames"][i]
+    trace = np.loadtxt(os.path.join(umc_root, "DKMP_OLD", "segments",
+                                    f"{rec}_states.txt"))
+    frames, states = corpus.umc_transitions(trace)
+    starts = corpus.scan_cycle_starts_umc(states, rec)
+    fr1k = [x // 4 for x in frames]
+    s0 = fr1k[starts[0]]
+    band = "25-400"
+    y, _ = read_wav(
+        os.path.join(umc_root, "DKMP_OLD",
+                     f"raw_filtBandIIR(ZP)4-{band}_normRMS",
+                     f"{rec}_filtBandIIR(ZP)4-{band}_normRMS.wav"),
+        sr=SR_UMC,
+    )
+    y1k = resample_poly(y.astype(np.float64), 1, 4).astype(np.float32)
+    mu, sd = UMC_PC_STATS[band]
+    expect = (y1k[s0 : s0 + int(f[4])] - mu) / sd
+    np.testing.assert_allclose(
+        d["data"][band][i, : int(f[4])], expect, rtol=1e-5, atol=1e-6
+    )
+
+
+def test_umc_1d_splits_and_trains(umc_1d):
+    ds_train = umc_split(umc_1d, "train", seed_data=1)
+    ds_test = umc_split(umc_1d, "test", seed_data=1)
+    # fold 1 holds out ID_002/ID_1/ID_19/ID_2 → they are the test side
+    assert set(np.unique(ds_test.ids)) <= {"ID_002", "ID_1", "ID_19", "ID_2"}
+    assert not set(np.unique(ds_train.ids)) & set(np.unique(ds_test.ids))
+    # loader polarity: ^1 → DKMP (decompensated) becomes 1
+    i = int(np.flatnonzero(ds_test.ids == "ID_2")[0])
+    assert ds_test.label[i] == 1
+
+
+def test_umc_spec_corpus(umc_root, tmp_path):
+    for size in (128, 64):
+        out = str(tmp_path / f"umcspec{size}.dat")
+        builder.main(
+            ["--corpus", f"umc-spec{size}", "--root", umc_root, "--out", out]
+        )
+        d = file2dict(out)
+        n = len(d["label"])
+        assert n > 0
+        assert d["data"].shape == (n, size, size)
+        # cell-3 polarity: DKMP→1 (opposite of the 1-D build)
+        assert np.all(d["label"][d["id"] == "ID_2"] == 1)
+        assert np.all(d["label"][d["id"] == "ID_1"] == 0)
+        assert np.isfinite(d["data"]).all()
+
+
+# ---------------------------------------------------------------------------
+# Generic-mode wav ingestion + default normalization
+# ---------------------------------------------------------------------------
+
+def test_generic_mode_reads_wavs_and_normalizes(tmp_path):
+    wav_dir, ann_dir = tmp_path / "wavs", tmp_path / "ann"
+    wav_dir.mkdir(), ann_dir.mkdir()
+    n = SR_PHYS * 6
+    rows = ["wav,label,sig_qual"]
+    for r in range(2):
+        name = f"a{r:04d}"
+        y = _cycle_signal(n, r % 2, SR_PHYS, seed=r)
+        _write_wav(str(wav_dir / f"{name}.wav"), y, SR_PHYS)
+        frames, states = _annotation_stream(n)
+        _write_stateans(
+            str(ann_dir / f"{name}_StateAns.mat"), frames, states, "state_ans"
+        )
+        rows.append(f"{name},{r % 2},1")
+    csv_path = tmp_path / "labels.csv"
+    csv_path.write_text("\n".join(rows) + "\n")
+    out = str(tmp_path / "generic.dat")
+    builder.main(
+        ["--wav-dir", str(wav_dir), "--ann-dir", str(ann_dir),
+         "--labels-csv", str(csv_path), "--out", out]
+    )
+    d = file2dict(out)
+    assert len(d["label"]) > 0
+    assert d["data"]["25-400"].shape[1] == 2500
+    # default --normalize physionet applied (stats shift the distribution)
+    out2 = str(tmp_path / "generic_raw.dat")
+    builder.main(
+        ["--wav-dir", str(wav_dir), "--ann-dir", str(ann_dir),
+         "--labels-csv", str(csv_path), "--out", out2, "--normalize", "none"]
+    )
+    d2 = file2dict(out2)
+    band = "25-45"
+    mu, sd = PHYSIONET_PC_STATS[band]
+    np.testing.assert_allclose(
+        d["data"][band], (d2["data"][band] - mu * (d2["data"][band] != 0)) / sd,
+        rtol=1e-4, atol=1e-5,
+    )

@@ -108,3 +108,72 @@ def test_plot_latent_space_accepts_training_dump_keys(trained_run, tmp_path):
         "train", 1, 2, "base", str(tmp_path), dim_reduc="tsne",
     )
     assert os.path.exists(path)
+
+
+def test_plot_latent_space_test_variant(trained_run, tmp_path):
+    """latent_space.py:197-240: test-only cloud, no augmented points."""
+    cfg, ds, root = trained_run
+    from pcgmix_tpu.exp import experiment_dir
+    from pcgmix_tpu.latent import LatentSpace, plot_latent_space_test
+
+    ckpt = os.path.join(experiment_dir(cfg), "model.msgpack")
+    lat = LatentSpace(ckpt, model_name="resnet9-5k", sig_len=512)
+    from pcgmix_tpu.data import physionet_split
+
+    split = physionet_split(ds, "test")
+    fts = lat.generate(split.data[:16])
+    path = plot_latent_space_test(
+        {"fts": fts, "target": split.label[:16]},
+        "test", 2, 2, "durratiomixup", str(tmp_path), dim_reduc="pca",
+    )
+    assert os.path.exists(path)
+
+
+def test_plot_latent_space_test_train_variant(trained_run, tmp_path):
+    """latent_space.py:242-311: joint test/train reduction, two pngs."""
+    cfg, ds, root = trained_run
+    from pcgmix_tpu.exp import experiment_dir
+    from pcgmix_tpu.latent import LatentSpace, plot_latent_space_test_train
+
+    ckpt = os.path.join(experiment_dir(cfg), "model.msgpack")
+    lat = LatentSpace(ckpt, model_name="resnet9-5k", sig_len=512)
+    from pcgmix_tpu.data import physionet_split
+
+    tr = physionet_split(ds, "train")
+    te = physionet_split(ds, "test")
+    p_test, p_train = plot_latent_space_test_train(
+        {"fts": lat.generate(te.data[:16]), "target": te.label[:16]},
+        {"fts_new": lat.generate(tr.data[:16]), "trgts_new": tr.label[:16]},
+        "final", 2, 2, "durratiomixup", str(tmp_path), dim_reduc="pca",
+    )
+    assert os.path.exists(p_test) and os.path.exists(p_train)
+    assert "(test)" in p_test and "(train)" in p_train
+
+
+def test_get_hidden_features(trained_run):
+    """latent_space.py:66-90: whole-split feature/confidence dump."""
+    cfg, ds, root = trained_run
+    from pcgmix_tpu.exp import experiment_dir
+    from pcgmix_tpu.latent import LatentSpace, get_hidden_features
+
+    ckpt = os.path.join(experiment_dir(cfg), "model.msgpack")
+    lat = LatentSpace(ckpt, model_name="resnet9-5k", sig_len=512)
+    from pcgmix_tpu.data import physionet_split
+
+    split = physionet_split(ds, "test")
+    fts, trgts, confs, indcs = get_hidden_features(
+        lat.model, lat.variables, split, batch_size=8
+    )
+    n = len(split.data)
+    assert fts.shape[0] == n and fts.ndim == 2
+    assert confs.shape == (n, 2)
+    assert trgts == list(split.label)
+    assert indcs == list(range(n))
+
+
+def test_plot_m1_trajectory(tmp_path):
+    """plotters.py:189-207: M1 trajectory plot with max marker."""
+    from pcgmix_tpu.exp.plotters import plot_m1
+
+    path = plot_m1([0.1, 0.5, 0.3, 0.2], str(tmp_path))
+    assert os.path.exists(path) and path.endswith("m1.jpg")
