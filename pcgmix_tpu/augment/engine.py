@@ -55,6 +55,12 @@ class AugmentConfig:
     cvd_map: Optional[dict] = None
     use_pallas: bool = False  # TPU fast path: VMEM lane-rotation kernel for
                               # the piecewise mixes (~3x over the XLA gather)
+    mesh: Optional[object] = None  # DP mesh (jax.sharding.Mesh).  When set,
+                              # Pallas calls route through shard_map with the
+                              # pair gather done by XLA first (GSPMD inserts
+                              # the cross-shard collective; the opaque
+                              # pallas_call only ever sees shard-local rows)
+    pallas_interpret: bool = False  # run kernels in interpret mode (CPU CI)
 
 
 @dataclasses.dataclass
@@ -861,23 +867,100 @@ class AugmentEngine:
     # ------------------------------------------------------------------ #
     # device: apply (jit-traceable; static structure fixed by self.spec)
     # ------------------------------------------------------------------ #
+    def _shard_map_pallas(self, fn, rows, *plan_arrays):
+        """Run a pre-paired Pallas kernel under the DP mesh: every input is
+        batch-leading and sharded on the mesh axis, so the kernel sees only
+        shard-local rows (the cross-shard pair gather already happened in
+        XLA)."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec
+
+        mesh = self.cfg.mesh
+        p = PartitionSpec(mesh.axis_names[0])
+        args = tuple(rows) + tuple(jnp.asarray(a) for a in plan_arrays)
+        return shard_map(
+            fn, mesh=mesh, in_specs=(p,) * len(args), out_specs=p,
+            check_vma=False,
+        )(*args)
+
+    def _pallas_mix_rows(self, data, idx1, idx2, arrays, *, base_is_d1):
+        """Dispatch the piecewise mix kernel, mesh-aware.  idx1=None means
+        identity (output row i blends data[i] with data[idx2[i]]).  Returns
+        None when the output batch cannot be sharded over the mesh (caller
+        falls back to the XLA path)."""
+        from pcgmix_tpu.ops.pallas_mix import (
+            piecewise_mix_pairs_pallas,
+            piecewise_mix_prepaired_pallas,
+        )
+
+        cfg = self.cfg
+        i32 = lambda x: jnp.asarray(x, jnp.int32)
+        plan = (arrays["dst"], arrays["src"], arrays["len"], arrays["sel"],
+                arrays["alpha"])
+        if cfg.mesh is None:
+            if idx1 is None:
+                idx1 = jnp.arange(data.shape[0], dtype=jnp.int32)
+            return piecewise_mix_pairs_pallas(
+                data, i32(idx1), i32(idx2), *plan,
+                base_is_d1=base_is_d1, interpret=cfg.pallas_interpret,
+            )
+        n_out = data.shape[0] if idx1 is None else np.shape(idx1)[0]
+        if n_out % cfg.mesh.size:
+            return None
+        d1_rows = data if idx1 is None else jnp.take(data, i32(idx1), axis=0)
+        d2_rows = jnp.take(data, i32(idx2), axis=0)
+
+        def fn(a, b, dst, src, ln, sel, al):
+            return piecewise_mix_prepaired_pallas(
+                a, b, dst, src, ln, sel, al,
+                base_is_d1=base_is_d1, interpret=cfg.pallas_interpret,
+            )
+
+        return self._shard_map_pallas(fn, (d1_rows, d2_rows), *plan)
+
+    def _fused_magwarp_apply(self, data, arrays):
+        """durmixmagwarp fast path: one kernel for pair fetch + segment
+        blend + spline warp (mesh-aware)."""
+        from pcgmix_tpu.ops.pallas_mix import (
+            pcgmix_plus_fused_pallas,
+            pcgmix_plus_fused_prepaired_pallas,
+        )
+
+        cfg = self.cfg
+        plan = (arrays["dst"], arrays["src"], arrays["len"], arrays["sel"],
+                arrays["alpha"], arrays["knots"])
+        if cfg.mesh is None:
+            return pcgmix_plus_fused_pallas(
+                data, arrays["mix"], *plan, interpret=cfg.pallas_interpret
+            )
+        if data.shape[0] % cfg.mesh.size:
+            return None  # caller falls back to the unfused path
+        d2_rows = jnp.take(data, jnp.asarray(arrays["mix"], jnp.int32), axis=0)
+
+        def fn(a, b, dst, src, ln, sel, al, kn):
+            return pcgmix_plus_fused_prepaired_pallas(
+                a, b, dst, src, ln, sel, al, kn,
+                interpret=cfg.pallas_interpret,
+            )
+
+        return self._shard_map_pallas(fn, (data, d2_rows), *plan)
+
     def _keepdur_apply(self, data, arrays):
         if self.cfg.use_pallas:
-            from pcgmix_tpu.ops.pallas_mix import piecewise_mix_batch_pallas
-
             if data.ndim == 3:
-                return piecewise_mix_batch_pallas(
-                    data, arrays["mix"], arrays["dst"], arrays["src"],
-                    arrays["len"], arrays["sel"], arrays["alpha"],
+                out = self._pallas_mix_rows(
+                    data, None, arrays["mix"], arrays, base_is_d1=True
                 )
-            if data.ndim == 4 and data.shape[1] == 1:
+                if out is not None:
+                    return out
+            elif data.ndim == 4 and data.shape[1] == 1:
                 # spectrograms (B, 1, F, T): frequency rows broadcast across
                 # the time-axis pieces exactly like channels do
-                out = piecewise_mix_batch_pallas(
-                    data[:, 0], arrays["mix"], arrays["dst"], arrays["src"],
-                    arrays["len"], arrays["sel"], arrays["alpha"],
+                out = self._pallas_mix_rows(
+                    data[:, 0], None, arrays["mix"], arrays, base_is_d1=True
                 )
-                return out[:, None]
+                if out is not None:
+                    return out[:, None]
         d2 = jnp.take(data, jnp.asarray(arrays["mix"], jnp.int32), axis=0)
         return _vmapped_pieces(data, d2, arrays)
 
@@ -893,18 +976,13 @@ class AugmentEngine:
                     "durmixfreqmask", "durmixtimemask", "durmixcutout"):
             if base == "durmixmagwarp" and cfg.use_pallas and data.ndim == 3:
                 # one fused kernel: pair gather + segment blend + spline warp
-                from pcgmix_tpu.ops.pallas_mix import pcgmix_plus_fused_pallas
-
-                out = pcgmix_plus_fused_pallas(
-                    data, arrays["mix"], arrays["dst"], arrays["src"],
-                    arrays["len"], arrays["sel"], arrays["alpha"],
-                    arrays["knots"],
-                )
-                if spec.mix_all_targets:
-                    target_ohe = _blend_targets(
-                        target_ohe, arrays["mix"], arrays["lam"]
-                    )
-                return out, target_ohe
+                out = self._fused_magwarp_apply(data, arrays)
+                if out is not None:
+                    if spec.mix_all_targets:
+                        target_ohe = _blend_targets(
+                            target_ohe, arrays["mix"], arrays["lam"]
+                        )
+                    return out, target_ohe
             out = self._keepdur_apply(data, arrays)
             if spec.mix_all_targets:
                 target_ohe = _blend_targets(target_ohe, arrays["mix"], arrays["lam"])
@@ -942,15 +1020,13 @@ class AugmentEngine:
         if base in ("labelcutmix", "lengthcutmix", "datasetcutmix", "wavcutmix",
                     "cutmix", "lc-nointrusion", "swapsysdia", "cont-cutmix",
                     "saliency-cutmix"):
+            out = None
             if cfg.use_pallas and data.ndim == 3 and not spec.smooth:
-                from pcgmix_tpu.ops.pallas_mix import piecewise_mix_pairs_pallas
-
-                out = piecewise_mix_pairs_pallas(
-                    data, arrays["idx1"], arrays["idx2"], arrays["dst"],
-                    arrays["src"], arrays["len"], arrays["sel"],
-                    arrays["alpha"], base_is_d1=False,
+                out = self._pallas_mix_rows(
+                    data, arrays["idx1"], arrays["idx2"], arrays,
+                    base_is_d1=False,
                 )
-            else:
+            if out is None:
                 out = _concat_pieces_apply(data, arrays, smooth=spec.smooth)
             if "bb" in arrays:
                 out = _mask_bb(out, arrays["bb"])

@@ -222,12 +222,17 @@ _DB4_HI = np.array(
 
 
 def _dwt_step(y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """One DWT level with pywt's 'symmetric' signal extension."""
+    """One DWT level with pywt's 'symmetric' signal extension.
+
+    pywt performs TRUE convolution with dec_lo/dec_hi (not correlation):
+    verified against the documented ``pywt.dwt([1,2,3,4], 'db1')`` example,
+    whose cD = [-0.7071, -0.7071] only falls out of the unreversed-filter
+    direction (the reversed-filter variant flips the detail signs)."""
     flen = len(_DB4_LO)
     pad = flen - 1
     ext = np.concatenate([y[:pad][::-1], y, y[-pad:][::-1]])
-    lo = np.convolve(ext, _DB4_LO[::-1], mode="valid")[1::2]
-    hi = np.convolve(ext, _DB4_HI[::-1], mode="valid")[1::2]
+    lo = np.convolve(ext, _DB4_LO, mode="valid")[1::2]
+    hi = np.convolve(ext, _DB4_HI, mode="valid")[1::2]
     return lo, hi
 
 

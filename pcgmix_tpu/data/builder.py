@@ -26,7 +26,6 @@ from typing import Iterable, Sequence
 import numpy as np
 
 from pcgmix_tpu import utils
-from pcgmix_tpu.ops.filtering import bandpass_filtfilt, resample_poly, rms_normalize
 from pcgmix_tpu.ops.spectrogram import melspectrogram, power_to_db
 
 # The eight band definitions the reference builds (databuilder.ipynb cell 21).
@@ -111,15 +110,28 @@ def preprocess_wav(
 ) -> np.ndarray:
     """Band-pass (zero-phase order-4 Butterworth) + RMS normalize at the
     native rate, then resample — the 'raw_filtBandIIR(ZP)4-{band}_normRMS'
-    preprocessing plus the databuilder's librosa.resample step."""
-    import jax.numpy as jnp
+    preprocessing plus the databuilder's librosa.resample step.
 
-    x = jnp.asarray(y, jnp.float32)
-    x = bandpass_filtfilt(x, band[0], band[1], sr_in)
-    x = rms_normalize(x)
+    Runs entirely on host via scipy (the parity target itself): an offline
+    corpus build touches thousands of wav×band pairs, and per-call JAX
+    dispatch on the host path measured ~5x slower than C-speed scipy for
+    identical numerics (scripts/bench_builder.py)."""
+    from math import gcd
+
+    from scipy.signal import resample_poly as _scipy_resample
+
+    from pcgmix_tpu.ops.filtering import butter_bandpass
+
+    b, a = butter_bandpass(band[0], band[1], sr_in)
+    from scipy.signal import filtfilt as _scipy_filtfilt
+
+    x = _scipy_filtfilt(b, a, np.asarray(y, np.float64)).astype(np.float32)
+    rms = np.sqrt(np.mean(np.square(x)))
+    x = x / max(rms, 1e-12)
     if sr_in != sr_out:
-        x = resample_poly(x, sr_out, sr_in)
-    return np.asarray(x)
+        g = gcd(sr_out, sr_in)
+        x = _scipy_resample(x, sr_out // g, sr_in // g).astype(np.float32)
+    return x
 
 
 def slice_cycles(

@@ -25,12 +25,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(n_pieces: int, base_is_d1: bool,
-            idx1_ref, idx2_ref, dst_ref, src_ref, len_ref, sel_ref, alpha_ref,
-            d1_ref, d2_ref, out_ref):
-    i = pl.program_id(0)
-    d1 = d1_ref[0]
-    d2 = d2_ref[0]
+def _mix_body(n_pieces: int, base_is_d1: bool, i,
+              dst_ref, src_ref, len_ref, sel_ref, alpha_ref, d1, d2):
+    """Shared piecewise blend: per-piece source windows realized as dynamic
+    lane rotations over VMEM rows."""
     C, T = d1.shape
     t = jax.lax.broadcasted_iota(jnp.int32, (C, T), 1)
     base = d1 if base_is_d1 else jnp.zeros_like(d1)
@@ -48,7 +46,27 @@ def _kernel(n_pieces: int, base_is_d1: bool,
         inside = (t >= dst) & (t < dst + length)
         # blend against the same base as piecewise_mix (zeros for concat)
         out = jnp.where(inside, a * base + (1.0 - a) * srcv, out)
+    return out
+
+
+def _kernel(n_pieces: int, base_is_d1: bool,
+            idx1_ref, idx2_ref, dst_ref, src_ref, len_ref, sel_ref, alpha_ref,
+            d1_ref, d2_ref, out_ref):
+    i = pl.program_id(0)
+    out = _mix_body(n_pieces, base_is_d1, i,
+                    dst_ref, src_ref, len_ref, sel_ref, alpha_ref,
+                    d1_ref[0], d2_ref[0])
     # fp32 alpha promotes bf16 rows; cast back (bf16 batches are legal input)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _kernel_prepaired(n_pieces: int, base_is_d1: bool,
+                      dst_ref, src_ref, len_ref, sel_ref, alpha_ref,
+                      d1_ref, d2_ref, out_ref):
+    i = pl.program_id(0)
+    out = _mix_body(n_pieces, base_is_d1, i,
+                    dst_ref, src_ref, len_ref, sel_ref, alpha_ref,
+                    d1_ref[0], d2_ref[0])
     out_ref[0] = out.astype(out_ref.dtype)
 
 
@@ -124,29 +142,71 @@ def piecewise_mix_batch_pallas(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("base_is_d1", "interpret"))
+def piecewise_mix_prepaired_pallas(
+    d1_rows: jax.Array,
+    d2_rows: jax.Array,
+    dst_start: jax.Array,
+    src_start: jax.Array,
+    length: jax.Array,
+    src_sel: jax.Array,
+    alpha: jax.Array,
+    *,
+    base_is_d1: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """Piecewise mix over rows whose partners were already gathered: output
+    row i mixes d1_rows[i] with d2_rows[i].
+
+    This is the mesh-compatible entry: under a data-parallel mesh the pair
+    gather may cross shards, so the trainer gathers partners with an XLA
+    ``jnp.take`` (GSPMD inserts the collective) and then shard_maps this
+    kernel with shard-local rows — the opaque pallas_call never sees a
+    cross-shard index (ROADMAP round-2 item; nn.DataParallel subsumption,
+    train_model.py:385).
+    """
+    N, C, T = d1_rows.shape
+    cpad = (-C) % 8
+    tpad = (-T) % 128
+    if cpad or tpad:
+        pad = ((0, 0), (0, cpad), (0, tpad))
+        out = piecewise_mix_prepaired_pallas(
+            jnp.pad(d1_rows, pad), jnp.pad(d2_rows, pad),
+            dst_start, src_start, length, src_sel, alpha,
+            base_is_d1=base_is_d1, interpret=interpret,
+        )
+        return out[:, :C, :T]
+    K = dst_start.shape[1]
+    i32 = lambda x: jnp.asarray(x, jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((1, C, T), lambda i, *s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, T), lambda i, *s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, C, T), lambda i, *s: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_prepaired, K, base_is_d1),
+        out_shape=jax.ShapeDtypeStruct((N, C, T), d1_rows.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(
+        i32(dst_start), i32(src_start), i32(length), i32(src_sel),
+        jnp.asarray(alpha, jnp.float32), d1_rows, d2_rows,
+    )
+
+
 # --------------------------------------------------------------------------- #
 # Fully-fused PCGmix+ kernel: pair gather + segment blend + magnitude warp
 # --------------------------------------------------------------------------- #
 
 
-def _kernel_fused(n_pieces: int,
-                  mix_ref, dst_ref, src_ref, len_ref, sel_ref, alpha_ref,
-                  d1_ref, d2_ref, knots_ref, basis_ref, out_ref):
-    i = pl.program_id(0)
-    d1 = d1_ref[0]
-    d2 = d2_ref[0]
-    C, T = d1.shape
-    t = jax.lax.broadcasted_iota(jnp.int32, (C, T), 1)
-    out = d1
-    for k in range(n_pieces):
-        dst = dst_ref[i, k]
-        off = src_ref[i, k] - dst
-        shift = jnp.mod(-off, T)
-        # sel is scalar → select-then-rotate: one dynamic rotation per piece
-        srcv = pltpu.roll(jnp.where(sel_ref[i, k] > 0, d2, d1), shift, axis=1)
-        inside = (t >= dst) & (t < dst + len_ref[i, k])
-        a = alpha_ref[i, k]
-        out = jnp.where(inside, a * d1 + (1.0 - a) * srcv, out)
+def _fused_epilogue(out, knots_ref, basis_ref, out_ref):
     # magnitude warp: warper (T, C) = basis (T, K2) @ knots (K2, C) on the
     # MXU; HIGHEST keeps the fp32 spline exact (scipy parity)
     warper = jnp.dot(basis_ref[...], knots_ref[0],
@@ -155,6 +215,26 @@ def _kernel_fused(n_pieces: int,
     # the fp32 spline product is cast back to the ref dtype (bf16 inputs are
     # legal: engine.apply may be called on an already-downcast batch)
     out_ref[0] = (out * warper.T).astype(out_ref.dtype)
+
+
+def _kernel_fused(n_pieces: int,
+                  mix_ref, dst_ref, src_ref, len_ref, sel_ref, alpha_ref,
+                  d1_ref, d2_ref, knots_ref, basis_ref, out_ref):
+    i = pl.program_id(0)
+    out = _mix_body(n_pieces, True, i,
+                    dst_ref, src_ref, len_ref, sel_ref, alpha_ref,
+                    d1_ref[0], d2_ref[0])
+    _fused_epilogue(out, knots_ref, basis_ref, out_ref)
+
+
+def _kernel_fused_prepaired(n_pieces: int,
+                            dst_ref, src_ref, len_ref, sel_ref, alpha_ref,
+                            d1_ref, d2_ref, knots_ref, basis_ref, out_ref):
+    i = pl.program_id(0)
+    out = _mix_body(n_pieces, True, i,
+                    dst_ref, src_ref, len_ref, sel_ref, alpha_ref,
+                    d1_ref[0], d2_ref[0])
+    _fused_epilogue(out, knots_ref, basis_ref, out_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -201,6 +281,79 @@ def pcgmix_plus_fused_pallas(
     return _fused_call(
         data, mix_indices, dst_start, src_start, length, src_sel, alpha,
         knots, jnp.asarray(basis), interpret,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pcgmix_plus_fused_prepaired_pallas(
+    d1_rows: jax.Array,
+    d2_rows: jax.Array,
+    dst_start: jax.Array,
+    src_start: jax.Array,
+    length: jax.Array,
+    src_sel: jax.Array,
+    alpha: jax.Array,
+    knots: jax.Array,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Mesh-compatible fused PCGmix+ kernel: partners pre-gathered (see
+    piecewise_mix_prepaired_pallas), segment blend + spline warp fused."""
+    from pcgmix_tpu.ops.spline import cubic_spline_basis
+
+    N, C, T = d1_rows.shape
+    K2 = knots.shape[1]
+    cpad = (-C) % 8
+    tpad = (-T) % 128
+    kpad = (-K2) % 8
+    basis = np.asarray(cubic_spline_basis(T, K2 - 2), dtype=np.float32)
+    if cpad or tpad or kpad:
+        pad = ((0, 0), (0, cpad), (0, tpad))
+        out = _fused_prepaired_call(
+            jnp.pad(d1_rows, pad), jnp.pad(d2_rows, pad),
+            dst_start, src_start, length, src_sel, alpha,
+            jnp.pad(knots, ((0, 0), (0, kpad), (0, cpad))),
+            jnp.pad(jnp.asarray(basis), ((0, tpad), (0, kpad))),
+            interpret,
+        )
+        return out[:, :C, :T]
+    return _fused_prepaired_call(
+        d1_rows, d2_rows, dst_start, src_start, length, src_sel, alpha,
+        knots, jnp.asarray(basis), interpret,
+    )
+
+
+def _fused_prepaired_call(d1_rows, d2_rows, dst, src, length, sel, alpha,
+                          knots, basis, interpret):
+    N, C, T = d1_rows.shape
+    K2 = knots.shape[1]
+    K = dst.shape[1]
+    i32 = lambda x: jnp.asarray(x, jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((1, C, T), lambda i, *s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, T), lambda i, *s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K2, C), lambda i, *s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, K2), lambda i, *s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, C, T), lambda i, *s: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_fused_prepaired, K),
+        out_shape=jax.ShapeDtypeStruct(d1_rows.shape, d1_rows.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(
+        i32(dst), i32(src), i32(length), i32(sel),
+        jnp.asarray(alpha, jnp.float32), d1_rows, d2_rows,
+        jnp.asarray(knots, jnp.float32), jnp.asarray(basis, jnp.float32),
     )
 
 

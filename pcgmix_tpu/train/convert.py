@@ -144,3 +144,53 @@ def load_torch_checkpoint(path: str, model: str) -> dict:
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     return torch_state_dict_to_flax(sd, model)
+
+
+def torch_seeded_init(
+    model: str,
+    num_channels: int = 4,
+    sig_len: int = 2500,
+    num_classes: int = 2,
+    seed: int = 4,
+) -> dict:
+    """Bit-parity FRESH-run initialization: draw the reference's exact init
+    tensors with torch's RNG under ``torch.manual_seed(seed_fix)``
+    (train_model.py:216-223, :293) and convert them to flax.
+
+    Reproduces the reference's module-construction order (ResNet9_myrtle,
+    models.py:520-531: conv1, conv2, res1[0], res1[1], conv3, conv4,
+    res2[0], res2[1], linear) so the RNG stream is consumed identically —
+    a fresh run initialized this way starts from the same weights a fresh
+    reference run would (PARITY.md's only remaining init gap).
+    """
+    import torch
+    from torch import nn
+
+    from pcgmix_tpu.models.resnet9 import RESNET9_PRESETS
+
+    if model not in RESNET9_PRESETS:
+        raise NotImplementedError(
+            f"torch-seeded init implemented for the ResNet9 presets, "
+            f"not {model!r} (transplant via load_torch_checkpoint instead)"
+        )
+    f = RESNET9_PRESETS[model]
+    linear_in = f[3] * (sig_len // 2 // 2 // 2 // 4)
+
+    def conv_block(ci, co):
+        # pool layers carry no params — construction order alone matters
+        return nn.Sequential(nn.Conv1d(ci, co, 3, padding=1), nn.BatchNorm1d(co))
+
+    torch.manual_seed(seed)
+
+    class _Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = conv_block(num_channels, f[0])
+            self.conv2 = conv_block(f[0], f[1])
+            self.res1 = nn.Sequential(conv_block(f[1], f[1]), conv_block(f[1], f[1]))
+            self.conv3 = conv_block(f[1], f[2])
+            self.conv4 = conv_block(f[2], f[3])
+            self.res2 = nn.Sequential(conv_block(f[3], f[3]), conv_block(f[3], f[3]))
+            self.linear = nn.Linear(linear_in, num_classes)
+
+    return torch_resnet9_to_flax(_Net().state_dict())

@@ -83,7 +83,16 @@ class TrainConfig:
     use_pallas: Optional[bool] = None  # TPU lane-rotation kernel for the
                                        # piecewise mixes; None = auto (on for
                                        # a TPU backend — bit-identical to the
-                                       # XLA path, see tests/test_pallas_mix)
+                                       # XLA path, see tests/test_pallas_mix).
+                                       # Under a DP mesh the kernels run via
+                                       # shard_map with XLA pre-gathered
+                                       # partner rows (tests/test_parallel)
+    pallas_interpret: bool = False  # run Pallas kernels in interpret mode
+                                    # (CPU CI exercise of the kernel path)
+    torch_init: bool = False  # bit-parity fresh-run mode: initialize from
+                              # torch's RNG under manual_seed(seed_fix) via
+                              # train.convert.torch_seeded_init (ResNet9
+                              # presets; reference train_model.py:293)
     steps_per_dispatch: int = 1  # >1: fuse K steps per dispatch via lax.scan
                                  # (device-resident methods only; gated-off
                                  # steps ride as identity plans)
@@ -144,7 +153,21 @@ def init_state(cfg: TrainConfig, model, train_ds, tx) -> TrainState:
     if cfg.classical_space and not cfg.spectrogram:
         shape[0] = cfg.num_channels  # the model sees 4 of the 5 channels
     sample = jnp.zeros((1, *shape), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(cfg.seed_fix), sample)
+    if cfg.torch_init:
+        # opt-in bit-parity fresh-run mode: draw the reference's exact init
+        # tensors with torch's RNG under manual_seed(seed_fix)
+        # (train_model.py:293) instead of the distributional flax init
+        from pcgmix_tpu.train.convert import torch_seeded_init
+
+        variables = jax.tree_util.tree_map(
+            jnp.asarray,
+            torch_seeded_init(
+                cfg.model, shape[0], shape[-1], cfg.num_classes,
+                seed=cfg.seed_fix,
+            ),
+        )
+    else:
+        variables = model.init(jax.random.PRNGKey(cfg.seed_fix), sample)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(
@@ -240,13 +263,16 @@ def train_model(
             spec_freq=train_ds.data.shape[-2] if cfg.spectrogram else 0,
             model=cfg.model,
             cvd_map=cvd_map,
-            # auto: on for single-device TPU runs.  Under a DP mesh GSPMD
-            # cannot partition the opaque pallas_call (the pair gather may
-            # cross shards), so auto keeps the XLA gather path there.
+            # auto: on for TPU backends.  Under a DP mesh the engine routes
+            # through shard_map with XLA pre-gathered partner rows (GSPMD
+            # cannot partition the opaque pallas_call directly, so the
+            # cross-shard pair gather happens outside the kernel).
             use_pallas=(
-                jax.default_backend() == "tpu" and n_dev == 1
+                jax.default_backend() == "tpu"
                 if cfg.use_pallas is None else cfg.use_pallas
             ),
+            mesh=mesh,
+            pallas_interpret=cfg.pallas_interpret,
         )
     )
     selc_es = _selc_turnpoint(cfg)

@@ -172,3 +172,66 @@ def test_scan_dispatch_composes_with_dp_mesh():
     np.testing.assert_allclose(
         got["test_accuracy"], ref["test_accuracy"], atol=1.0
     )
+
+
+def test_pallas_engine_path_matches_xla_under_mesh():
+    """ROADMAP round-2 item: under a DP mesh the Pallas kernels run through
+    shard_map with XLA pre-gathered partner rows.  Engine apply with
+    use_pallas+mesh (interpret mode on the CPU mesh) must equal the plain
+    XLA path bit-closely for keepdur, fused-magwarp and concat methods."""
+    rng = np.random.default_rng(3)
+    mesh = make_mesh(8)
+    from pcgmix_tpu.data.synthetic import synthetic_physionet_dict as _  # noqa: F401
+
+    ds = synthetic_physionet_dict(
+        num_wavs_train=12, num_wavs_test=2, segments_per_wav=2, sig_len=T, seed=6
+    )
+    train_ds = physionet_split(ds, "train", train_balance=False)
+    idx = np.arange(B) % len(train_ds)
+    data = jnp.asarray(train_ds.data[idx].astype(np.float32))
+    tgt = jnp.asarray(np.eye(2, dtype=np.float32)[train_ds.label[idx]])
+    for method in ("durratiomixup", "durmixmagwarp(0.2,4)", "cutmix"):
+        def mk(**kw):
+            return AugmentEngine(AugmentConfig(
+                method, B, C, T, model="resnet9-5k", **kw))
+
+        eng_x = mk()
+        eng_p = mk(use_pallas=True, mesh=mesh, pallas_interpret=True)
+        plan_x = eng_x.plan(5, train_ds.frames[idx], train_ds.label[idx])
+        plan_p = eng_p.plan(5, train_ds.frames[idx], train_ds.label[idx])
+        out_x, tgt_x = eng_x.apply(data, tgt, plan_x.arrays)
+        out_p, tgt_p = eng_p.apply(data, tgt, plan_p.arrays)
+        np.testing.assert_allclose(
+            np.asarray(out_p), np.asarray(out_x), rtol=1e-6, atol=1e-6,
+            err_msg=method,
+        )
+        np.testing.assert_allclose(
+            np.asarray(tgt_p), np.asarray(tgt_x), rtol=1e-6, err_msg=method
+        )
+
+
+def test_pallas_train_model_under_dp_mesh():
+    """Full train_model with n_devices=4 and the Pallas path enabled
+    (interpret mode) reproduces the XLA-path run."""
+    from pcgmix_tpu.train import TrainConfig, train_model
+
+    ds = synthetic_physionet_dict(
+        num_wavs_train=16, num_wavs_test=6, segments_per_wav=2,
+        sig_len=T, seed=8,
+    )
+    kw = dict(
+        dataset="PhysioNet", model="resnet9-5k",
+        method="durmixmagwarp(0.2,4)+0.8", num_epochs=2, batch_size=B,
+        sig_len=T, lr_max=0.001, save_artifacts=False, loader_parity="numpy",
+        n_devices=4,
+    )
+    ref = train_model(TrainConfig(use_pallas=False, **kw), ds)
+    got = train_model(
+        TrainConfig(use_pallas=True, pallas_interpret=True, **kw), ds
+    )
+    np.testing.assert_allclose(
+        got["train_loss"], ref["train_loss"], rtol=2e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        got["test_accuracy"], ref["test_accuracy"], atol=1.0
+    )

@@ -161,3 +161,55 @@ def test_transplanted_training_losses_track_torch(method):
         f"{method}: trajectories separated, max |Δloss| {delta.max():.3f}\n"
         f"torch: {losses_t}\nflax:  {losses_j}"
     )
+
+
+def test_torch_seeded_init_matches_fresh_reference_init():
+    """VERDICT r2 stretch #9: torch_seeded_init draws the reference's exact
+    fresh-run weights (construction order conv1..res2, linear under
+    manual_seed(4)) — tree-equal to converting a freshly seeded replica."""
+    from pcgmix_tpu.train.convert import torch_seeded_init
+
+    torch.manual_seed(4)
+    net = _torch_resnet9()
+    expect = torch_state_dict_to_flax(net.state_dict(), "resnet9-5k")
+    got = torch_seeded_init("resnet9-5k", num_channels=C, sig_len=T)
+    flat_e = jax.tree_util.tree_leaves_with_path(expect)
+    flat_g = jax.tree_util.tree_leaves_with_path(got)
+    assert len(flat_e) == len(flat_g)
+    for (pe, le), (pg, lg) in zip(flat_e, flat_g):
+        assert pe == pg
+        np.testing.assert_array_equal(le, lg, err_msg=str(pe))
+
+
+def test_fresh_run_bit_parity_step0():
+    """A FRESH flax run under TrainConfig.torch_init reproduces the torch
+    replica's step-0 loss to fp tolerance (the '+torch-RNG init shim' Done
+    criterion) — no checkpoint transplanted anywhere."""
+    from pcgmix_tpu.train.convert import torch_seeded_init
+
+    batches = _prebuild_batches("base")
+    torch.manual_seed(4)
+    net = _torch_resnet9()
+    losses_t = _run_torch(net, batches)
+    variables = torch_seeded_init("resnet9-5k", num_channels=C, sig_len=T)
+    losses_j = _run_flax(variables, batches)
+    assert abs(losses_j[0] - losses_t[0]) < 1e-5
+
+
+def test_train_model_torch_init_smoke():
+    """TrainConfig(torch_init=True) trains end-to-end."""
+    from pcgmix_tpu.train import TrainConfig, train_model
+
+    ds = synthetic_physionet_dict(
+        num_wavs_train=12, num_wavs_test=4, segments_per_wav=2, sig_len=T,
+        seed=3,
+    )
+    perf = train_model(
+        TrainConfig(
+            model="resnet9-5k", method="base", num_epochs=2, batch_size=8,
+            sig_len=T, save_artifacts=False, loader_parity="numpy",
+            torch_init=True,
+        ),
+        ds,
+    )
+    assert np.isfinite(perf["train_loss"]).all()
