@@ -22,6 +22,26 @@ from pcgmix_tpu.exp.robust import SEED_DATA_GRIDS, hyperparameters_robust
 from pcgmix_tpu.train.loop import TrainConfig, train_model
 
 
+def _salopt_dependency(cfg: TrainConfig, robust: bool) -> TrainConfig | None:
+    """The pretrained run a (salopt…) method depends on: same config with
+    method 'base' (salopt_model 0) or the robust-rewritten 'durratiomixup' /
+    'durmixmagwarp(0.2,4)' (-1/-2 variants) — reference saliency.py:26-37.
+    Returns None when the method carries no salopt dependency."""
+    from pcgmix_tpu.augment.methods import parse_method
+
+    spec = parse_method(cfg.method)
+    if spec.salopt is None:
+        return None
+    dep = copy.deepcopy(cfg)
+    dep.method = {
+        0: "base", 1: "durratiomixup", 2: "durmixmagwarp(0.2,4)"
+    }[spec.salopt_model]
+    if robust and spec.salopt_model:
+        dep = hyperparameters_robust(dep)
+    dep.save_artifacts = True  # the dependency's checkpoint IS the artifact
+    return dep
+
+
 def run_grid(
     base_cfg: TrainConfig,
     dataset: dict,
@@ -34,7 +54,13 @@ def run_grid(
     progress: bool = True,
 ) -> list[TrainConfig]:
     """Run every grid point, skipping finished runs.  Returns the configs
-    that were executed."""
+    that were executed.
+
+    (salopt…) methods carry a DAG edge (SURVEY.md §7 hard parts): they need
+    a previously trained checkpoint of the same configuration with the
+    method swapped.  The runner trains that dependency first if its run
+    directory is missing, then wires the saliency provider automatically.
+    """
     executed = []
     for method in methods:
         for n_frac in n_fractions:
@@ -58,9 +84,30 @@ def run_grid(
                         if progress:
                             print(f"skip (done): {experiment_dir(cfg)}")
                         continue
+                    kwargs = {}
+                    dep = _salopt_dependency(cfg, robust)
+                    if dep is not None:
+                        if not experiment_already_done(dep):
+                            if progress:
+                                print(f"run (salopt dependency): "
+                                      f"{experiment_dir(dep)}")
+                            train_model(dep, dataset, progress=progress)
+                            executed.append(dep)
+
+                        def ckpt_dir_for(method, _cfg=cfg):
+                            resolved = _salopt_dependency(_cfg, robust)
+                            return experiment_dir(resolved)
+
+                        from pcgmix_tpu.saliency import (
+                            make_pretrained_saliency_fn,
+                        )
+
+                        kwargs["saliency_model_provider"] = (
+                            make_pretrained_saliency_fn(cfg, ckpt_dir_for)
+                        )
                     if progress:
                         print(f"run: {experiment_dir(cfg)}")
-                    train_model(cfg, dataset, progress=progress)
+                    train_model(cfg, dataset, progress=progress, **kwargs)
                     executed.append(cfg)
     return executed
 

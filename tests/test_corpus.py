@@ -439,3 +439,22 @@ def test_generic_mode_reads_wavs_and_normalizes(tmp_path):
         d["data"][band], (d2["data"][band] - mu * (d2["data"][band] != 0)) / sd,
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_physionet_spec_corpus_trains_2d(physionet_root, tmp_path):
+    """The spec128 corpus .dat drives the 2-D training path unchanged
+    (ResNet9-2D, durratiomixup on spectrogram columns)."""
+    from pcgmix_tpu.train import TrainConfig, train_model
+
+    out = str(tmp_path / "spec2d.dat")
+    builder.main(
+        ["--corpus", "physionet-spec128", "--root", physionet_root, "--out", out]
+    )
+    d = file2dict(out)
+    cfg = TrainConfig(
+        dataset="PhysioNet(spec128)", model="resnet9", method="durratiomixup",
+        num_epochs=1, batch_size=8, save_artifacts=False,
+        loader_parity="numpy",
+    )
+    perf = train_model(cfg, d)
+    assert np.isfinite(perf["train_loss"]).all()

@@ -159,3 +159,23 @@ def test_results_cli_nonpublished_nfrac_and_no_robust(tmp_path, capsys):
     ])
     out = capsys.readouterr().out
     assert "±" in out and "—" not in out.split("\n")[1]
+
+
+def test_run_grid_salopt_dag(tmp_path):
+    """(salopt…) grid points train their pretrained dependency first and
+    wire the saliency provider automatically (SURVEY.md §7 hard parts:
+    'the experiment runner must encode this DAG')."""
+    cfg = _base(tmp_path)
+    ran = run_grid(
+        cfg, DS, ["(saloptenv)durratiomixup"], [1.0], [1],
+        seed_datas=[1100001], robust=False, progress=False,
+    )
+    # the base dependency ran first, then the salopt run itself
+    assert [c.method for c in ran] == ["base", "(saloptenv)durratiomixup"]
+    assert os.path.exists(os.path.join(experiment_dir(ran[0]), "model.msgpack"))
+    # rerunning skips both (dependency satisfied, run finished)
+    ran2 = run_grid(
+        cfg, DS, ["(saloptenv)durratiomixup"], [1.0], [1],
+        seed_datas=[1100001], robust=False, progress=False,
+    )
+    assert ran2 == []
