@@ -116,21 +116,17 @@ def preprocess_wav(
     corpus build touches thousands of wav×band pairs, and per-call JAX
     dispatch on the host path measured ~5x slower than C-speed scipy for
     identical numerics (scripts/bench_builder.py)."""
-    from math import gcd
-
-    from scipy.signal import resample_poly as _scipy_resample
-
-    from pcgmix_tpu.ops.filtering import butter_bandpass
-
-    b, a = butter_bandpass(band[0], band[1], sr_in)
     from scipy.signal import filtfilt as _scipy_filtfilt
 
+    from pcgmix_tpu.ops.filtering import (
+        butter_bandpass, resample_poly_host, rms_normalize_host,
+    )
+
+    b, a = butter_bandpass(band[0], band[1], sr_in)
     x = _scipy_filtfilt(b, a, np.asarray(y, np.float64)).astype(np.float32)
-    rms = np.sqrt(np.mean(np.square(x)))
-    x = x / max(rms, 1e-12)
+    x = rms_normalize_host(x)
     if sr_in != sr_out:
-        g = gcd(sr_out, sr_in)
-        x = _scipy_resample(x, sr_out // g, sr_in // g).astype(np.float32)
+        x = resample_poly_host(x, sr_out, sr_in)
     return x
 
 
@@ -417,7 +413,18 @@ def main(argv=None):
 
         if not args.root:
             p.error("--corpus requires --root")
-        _corpus.build_corpus(args.corpus, args.root, args.out, args.train_wavs)
+        if args.wav_dir or args.ann_dir or args.labels_csv:
+            p.error(
+                "--wav-dir/--ann-dir/--labels-csv are generic-mode flags; "
+                "--corpus mode reads everything from --root (and --kind/"
+                "--sr-in/--normalize are likewise generic-mode only)"
+            )
+        try:
+            _corpus.build_corpus(
+                args.corpus, args.root, args.out, args.train_wavs
+            )
+        except ValueError as e:
+            p.error(str(e))
         return
 
     if not (args.wav_dir and args.ann_dir and args.labels_csv):

@@ -136,12 +136,9 @@ def read_wav(path: str, sr: int | None = None) -> tuple[np.ndarray, int]:
     if y.ndim > 1:
         y = y.mean(axis=1)
     if sr is not None and sr != native_sr:
-        from math import gcd
+        from pcgmix_tpu.ops.filtering import resample_poly_host
 
-        from scipy.signal import resample_poly as _rp
-
-        g = gcd(int(sr), int(native_sr))
-        y = _rp(y.astype(np.float64), sr // g, native_sr // g).astype(np.float32)
+        y = resample_poly_host(y, sr, native_sr)
         native_sr = sr
     return y, int(native_sr)
 
@@ -222,7 +219,11 @@ def load_physionet_annotation(
     m = loadmat(path)
     rows = m[key]
     frames = [int(_scalar(r[0])) for r in rows]
-    states = [str(_scalar(r[1])) for r in rows]
+    # strip quote/paren wrappers like the generic parser does
+    # (builder.parse_springer_mat) — '(N' noise markers become 'N', which
+    # the cell-25 noise check still catches; without this, wrapped state
+    # cells would silently yield zero cycles for a recording
+    states = [str(_scalar(r[1])).strip("()'\" ") for r in rows]
     return frames, states
 
 
@@ -400,7 +401,8 @@ def build_physionet_1d(
             y_hat = (y_hat - mu) / sd
             for i in starts:
                 seg = y_hat[frames[i] : frames[i + 4]]
-                if len(seg) > sig_len:
+                # warn once per cycle, not once per band × cycle
+                if band == bands[0] and len(seg) > sig_len:
                     warnings.warn(f"{wav}: cycle at {i} longer than {sig_len}, truncated")
                 dest["data"][band].append(_resize(seg, sig_len))
     return {"train": _finalize(train), "test": _finalize(test)}
@@ -408,15 +410,15 @@ def build_physionet_1d(
 
 def _resample_2to1(y: np.ndarray) -> np.ndarray:
     """The databuilder's librosa.resample(2000→1000) step (polyphase here)."""
-    from scipy.signal import resample_poly as _rp
+    from pcgmix_tpu.ops.filtering import resample_poly_host
 
-    return _rp(y.astype(np.float64), 1, 2).astype(np.float32)
+    return resample_poly_host(y, 1, 2)
 
 
 def _resample_4to1(y: np.ndarray) -> np.ndarray:
-    from scipy.signal import resample_poly as _rp
+    from pcgmix_tpu.ops.filtering import resample_poly_host
 
-    return _rp(y.astype(np.float64), 1, 4).astype(np.float32)
+    return resample_poly_host(y, 1, 4)
 
 
 def build_physionet_full(
@@ -442,10 +444,11 @@ def build_physionet_full(
         root, subsets
     ):
         frames = np.asarray([f // 2 for f in raw_frames], np.int64)
-        # the window scan needs the 1 kHz signal length; all bands share it
+        # the window scan needs the 1 kHz signal length; all bands share it,
+        # so read/resample bands[0] once and reuse it in the band loop
         y0, _ = read_wav(_physionet_band_wav(root, subset, wav, bands[0]), sr=2000)
-        n = len(_resample_2to1(y0))
-        windows = scan_full_windows(frames, states, n, sig_len, max_frames)
+        y0_hat = _resample_2to1(y0)
+        windows = scan_full_windows(frames, states, len(y0_hat), sig_len, max_frames)
         if not windows:
             continue
         dest = test if wav in test_wavs else train
@@ -455,8 +458,13 @@ def build_physionet_full(
             dest["wav"].append(wav)
             dest["sig_qual"].append(sig_qual)
         for band in bands:
-            y, _ = read_wav(_physionet_band_wav(root, subset, wav, band), sr=2000)
-            y_hat = _resample_2to1(y)
+            if band == bands[0]:
+                y_hat = y0_hat
+            else:
+                y, _ = read_wav(
+                    _physionet_band_wav(root, subset, wav, band), sr=2000
+                )
+                y_hat = _resample_2to1(y)
             mu, sd = stats[band]
             y_hat = (y_hat - mu) / sd
             for s, _wf in windows:
@@ -611,7 +619,8 @@ def build_umc_1d(
             y_hat = (y_hat - mu) / sd
             for i in starts:
                 seg = y_hat[frames[i] : frames[i + 4]]
-                if len(seg) > sig_len:
+                # warn once per cycle, not once per band × cycle
+                if band == bands[0] and len(seg) > sig_len:
                     warnings.warn(f"{rec}: cycle at {i} longer than {sig_len}, truncated")
                 out["data"][band].append(_resize(seg, sig_len))
     return _finalize(out)
@@ -710,7 +719,15 @@ BUILDERS = {
 def build_corpus(kind: str, root: str, out: str, train_wavs: str | None = None):
     """Run one corpus build and write the zlib-pickled .dat."""
     kw = {}
-    if kind == "physionet-spec128" and train_wavs:
+    if train_wavs:
+        if kind != "physionet-spec128":
+            # only the spectrogram build restricts its train side to the
+            # published list (databuilder.ipynb cell 6) — dropping the flag
+            # silently would fake a successful reproduction
+            raise ValueError(
+                f"--train-wavs applies only to physionet-spec128 (cell 6's "
+                f"'wav not in test_wavs + train_wavs' filter), not {kind!r}"
+            )
         kw["train_wavs"] = read_train_wavs_file(train_wavs)
     d = BUILDERS[kind](root, **kw)
     utils.dict2file(d, out)

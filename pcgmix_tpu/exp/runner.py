@@ -28,14 +28,13 @@ def _salopt_dependency(cfg: TrainConfig, robust: bool) -> TrainConfig | None:
     'durmixmagwarp(0.2,4)' (-1/-2 variants) — reference saliency.py:26-37.
     Returns None when the method carries no salopt dependency."""
     from pcgmix_tpu.augment.methods import parse_method
+    from pcgmix_tpu.saliency import SALOPT_PRETRAIN_METHODS
 
     spec = parse_method(cfg.method)
     if spec.salopt is None:
         return None
     dep = copy.deepcopy(cfg)
-    dep.method = {
-        0: "base", 1: "durratiomixup", 2: "durmixmagwarp(0.2,4)"
-    }[spec.salopt_model]
+    dep.method = SALOPT_PRETRAIN_METHODS[spec.salopt_model]
     if robust and spec.salopt_model:
         dep = hyperparameters_robust(dep)
     dep.save_artifacts = True  # the dependency's checkpoint IS the artifact

@@ -82,13 +82,27 @@ def get_hidden_features(model, variables, ds, *, batch_size: int = 256):
     '### OLD' marker); the live equivalent implemented here is
     ``part='latent_space'`` features plus the full-forward logits as the
     confidence head.  ds: an ArrayDataset (or anything with .data/.label).
+
+    Both heads come out of ONE jitted call: the two applies share an
+    identical trunk (every model's full forward is head(latent_space
+    features)), so XLA CSE computes it once — the reference's
+    single-pass-two-heads cost, without a per-model dual-output part.
     """
+
+    @jax.jit
+    def both(x):
+        return (
+            model.apply(variables, x, depth=0, part="latent_space"),
+            model.apply(variables, x),
+        )
+
     fts_l, confs_l = [], []
     n = len(ds.data)
     for start in range(0, n, batch_size):
         x = jnp.asarray(ds.data[start : start + batch_size])
-        fts_l.append(np.asarray(model.apply(variables, x, depth=0, part="latent_space")))
-        confs_l.append(np.asarray(model.apply(variables, x)))
+        f, c = both(x)
+        fts_l.append(np.asarray(f))
+        confs_l.append(np.asarray(c))
     fts = np.concatenate(fts_l) if fts_l else np.zeros((0, 0))
     confs = np.concatenate(confs_l) if confs_l else np.zeros((0, 0))
     trgts = list(np.asarray(ds.label))

@@ -26,6 +26,14 @@ from pcgmix_tpu.ops.masks import zero_after
 import numpy as np
 
 
+#: salopt_model index → the pretrained run's method (saliency.py:26-37).
+#: Shared by the saliency provider and the runner's dependency DAG so the
+#: checkpoint that gets pre-trained is by construction the one loaded.
+SALOPT_PRETRAIN_METHODS: dict[int, str] = {
+    0: "base", 1: "durratiomixup", 2: "durmixmagwarp(0.2,4)",
+}
+
+
 def gaussian_kernel(n: int = 11, sigma: float = 1.0) -> np.ndarray:
     """Unnormalized Gaussian taps over [-n//2, n//2] (saliency.py:15-18)."""
     r = np.arange(-(n // 2), n // 2 + 1, dtype=np.float64)
@@ -116,9 +124,7 @@ def make_pretrained_saliency_fn(
 
     @functools.lru_cache(maxsize=4)
     def provider(salopt_model: int):
-        method = {0: "base", 1: "durratiomixup", 2: "durmixmagwarp(0.2,4)"}[
-            salopt_model
-        ]
+        method = SALOPT_PRETRAIN_METHODS[salopt_model]
         ckpt_dir = checkpoint_dir_for(method)
         model_eval = build_model(cfg.model, cfg.dataset, cfg.num_classes, train=False)
         if cfg.spectrogram:

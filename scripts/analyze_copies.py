@@ -54,7 +54,6 @@ def main():
     copy_bytes = collections.Counter()
     for line in hlo.splitlines():
         line = line.strip()
-        m = re.match(r"%?\S+ = (\S+?) copy\(", line)
         if " copy(" in line and "=" in line:
             shape = line.split("=", 1)[1].strip().split(" ")[0]
             copies[shape] += 1
