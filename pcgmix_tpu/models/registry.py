@@ -1,12 +1,16 @@
 """Model factory keyed by the reference's model-name strings.
 
 Parity target: the model-selection ladder in train_model.py:294-386.  The
-tsai-zoo imports the reference wires in (InceptionTimePlus, XceptionTime,
-gMLP, XCM, RNN/LSTM/GRU, mWDN, OmniScaleCNN, XResNet1d, …) are third-party
-models outside the paper's experiments; the names used by the published
-results (resnet9*, Potes*, FCN, ResCNN, ResNet, Singstad_d*) are all
-implemented natively here.  Unimplemented tsai names raise with a clear
-message rather than silently substituting.
+names used by the published results (resnet9*, Potes*, FCN, ResCNN,
+ResNet, Singstad_d*) are implemented natively; the tsai-zoo names the
+reference imports from the third-party ``tsai`` package (InceptionTime*,
+XceptionTime*, gMLP, XCM*, RNN/LSTM/GRU, mWDN, OmniScaleCNN, XResNet1d18*,
+ResNetPlus, FCNPlus — train_model.py:306-384) are reimplementations of the
+published tsai 0.3.x architectures (tsai is not in this image; disclosed
+per-module, no bit-parity oracle).  'Plus' variants differ in tsai only by
+block-plumbing conveniences with identical defaults and map to the same
+class here; tsai's ResNetPlus/FCNPlus are architecturally this repo's
+ResNet/FCN.
 """
 
 from __future__ import annotations
@@ -20,8 +24,12 @@ from pcgmix_tpu.models.resnet9 import RESNET9_PRESETS, ResNet9_1D
 from pcgmix_tpu.models.resnet9_2d import ResNet9_2D
 from pcgmix_tpu.models.resnet_ts import ResNetTS
 from pcgmix_tpu.models.singstad import SingstadInceptionTime
+from pcgmix_tpu.models.tsai_inception import InceptionTime, XceptionTime
+from pcgmix_tpu.models.tsai_misc import MWDN, OmniScaleCNN, XCM
+from pcgmix_tpu.models.tsai_seq import GMLP, TsaiRNN
+from pcgmix_tpu.models.tsai_xresnet import XResNet1d18
 
-_TSAI_ONLY = {
+_TSAI_NAMES = (
     "ResNetPlus",
     "XResNet1d18",
     "XResNet1d18Plus",
@@ -38,12 +46,13 @@ _TSAI_ONLY = {
     "GRU",
     "mWDN",
     "OmniScaleCNN",
-}
+)
 
 MODEL_NAMES = (
     list(RESNET9_PRESETS)
     + list(POTES_PRESETS)
     + ["FCN", "FCN(custom)", "ResCNN", "ResNet", "Singstad_d3", "Singstad_d6", "Singstad_d10"]
+    + list(_TSAI_NAMES)
 )
 
 
@@ -86,12 +95,29 @@ def build_model(
         return SingstadInceptionTime(
             num_classes=num_classes, depth_variant=int(name.split("_d")[1]), train=train
         )
-    if name in _TSAI_ONLY:
-        raise NotImplementedError(
-            f"model {name!r} comes from the third-party tsai zoo in the reference "
-            "(train_model.py:306-384) and is not part of the published experiments; "
-            "use one of the native models: " + ", ".join(MODEL_NAMES)
-        )
+    if name in ("InceptionTime", "InceptionTimePlus"):
+        return InceptionTime(num_classes=num_classes, train=train)
+    if name in ("XceptionTime", "XceptionTimePlus"):
+        return XceptionTime(num_classes=num_classes, train=train)
+    if name in ("XResNet1d18", "XResNet1d18Plus"):
+        return XResNet1d18(num_classes=num_classes, train=train)
+    if name == "ResNetPlus":
+        # tsai ResNetPlus == the ResNet trunk (nf 64/128/128, ks [7,5,3])
+        # with an identical default head
+        return ResNetTS(num_classes=num_classes, train=train)
+    if name == "FCNPlus":
+        # tsai FCNPlus == FCN (layers [128,256,128], kss [7,5,3])
+        return FCN(num_classes=num_classes, train=train)
+    if name in ("RNN", "LSTM", "GRU"):
+        return TsaiRNN(num_classes=num_classes, cell_type=name.lower(), train=train)
+    if name == "gMLP":
+        return GMLP(num_classes=num_classes, train=train)
+    if name in ("XCM", "XCMPlus"):
+        return XCM(num_classes=num_classes, train=train)
+    if name == "mWDN":
+        return MWDN(num_classes=num_classes, train=train)
+    if name == "OmniScaleCNN":
+        return OmniScaleCNN(num_classes=num_classes, train=train)
     raise ValueError(f"unknown model {name!r}; available: {', '.join(MODEL_NAMES)}")
 
 

@@ -82,9 +82,9 @@ def test_resnet9_classifier_width_matches_reference():
         assert shapes["params"]["linear"]["Dense_0"]["kernel"].shape == (width, 2)
 
 
-def test_unknown_and_tsai_models_raise():
-    with pytest.raises(NotImplementedError):
-        build_model("gMLP")
+def test_unknown_model_raises():
+    # tsai-zoo names now build natively (tests/test_tsai_zoo.py); only
+    # genuinely unknown names raise
     with pytest.raises(ValueError):
         build_model("nope")
 
