@@ -419,12 +419,16 @@ def main(argv=None):
                 "--corpus mode reads everything from --root (and --kind/"
                 "--sr-in/--normalize are likewise generic-mode only)"
             )
-        try:
-            _corpus.build_corpus(
-                args.corpus, args.root, args.out, args.train_wavs
+        if args.train_wavs and args.corpus != "physionet-spec128":
+            # flag-combination mistakes are usage errors; corpus
+            # data-integrity errors from build_corpus propagate with their
+            # tracebacks intact
+            p.error(
+                "--train-wavs applies only to physionet-spec128 (cell 6's "
+                "'wav not in test_wavs + train_wavs' filter), not "
+                f"{args.corpus!r}"
             )
-        except ValueError as e:
-            p.error(str(e))
+        _corpus.build_corpus(args.corpus, args.root, args.out, args.train_wavs)
         return
 
     if not (args.wav_dir and args.ann_dir and args.labels_csv):

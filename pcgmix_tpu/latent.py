@@ -14,7 +14,9 @@ explicitly and loads once.
 
 from __future__ import annotations
 
+import functools
 import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -73,6 +75,17 @@ def save_latent_space(dct: dict, split: str, step: int, results_dir: str) -> Non
     utils.save_dict(dct, os.path.join(d, f"latent_space_{split}_{step}.pkl"))
 
 
+@functools.partial(jax.jit, static_argnames=("model",))
+def _both_heads(model, variables, x):
+    """(latent_space features, full-forward logits) in one jitted call —
+    module-scope so the compile is cached per (model, shape) across
+    get_hidden_features calls (flax Modules hash by their static fields)."""
+    return (
+        model.apply(variables, x, depth=0, part="latent_space"),
+        model.apply(variables, x),
+    )
+
+
 def get_hidden_features(model, variables, ds, *, batch_size: int = 256):
     """Whole-split feature dump: returns (fts, trgts, confs, indcs)
     (latent_space.py:66-90).
@@ -88,19 +101,11 @@ def get_hidden_features(model, variables, ds, *, batch_size: int = 256):
     features)), so XLA CSE computes it once — the reference's
     single-pass-two-heads cost, without a per-model dual-output part.
     """
-
-    @jax.jit
-    def both(x):
-        return (
-            model.apply(variables, x, depth=0, part="latent_space"),
-            model.apply(variables, x),
-        )
-
     fts_l, confs_l = [], []
     n = len(ds.data)
     for start in range(0, n, batch_size):
         x = jnp.asarray(ds.data[start : start + batch_size])
-        f, c = both(x)
+        f, c = _both_heads(model, variables, x)
         fts_l.append(np.asarray(f))
         confs_l.append(np.asarray(c))
     fts = np.concatenate(fts_l) if fts_l else np.zeros((0, 0))

@@ -23,7 +23,9 @@ published tsai architectures (tsai 0.3.x), not bit-parity ports:
 
 All follow the repo model protocol: ``(B, C, T)`` input, ``depth``/``part``
 kwargs accepted for API uniformity, ``part='latent_space'`` returns the
-pre-head features.  Like the reference's tsai models, there is no
+pre-head features.  Initialization follows the repo's torch-default policy
+(models/layers.py: kaiming-uniform U(±1/√fan_in)), matching what torch
+would give these architectures.  Like the reference's tsai models, there is no
 part='first'/'second' split forward (latentmixup crashes there too —
 models/registry.py:max_latent_depth).
 """
@@ -36,7 +38,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from pcgmix_tpu.models.layers import (
-    BatchNorm, Conv1d, ConvBNAct, Dense, gap_1d,
+    BatchNorm, Conv1d, ConvBNAct, Dense, gap_1d, torch_conv_kernel_init,
 )
 
 
@@ -65,9 +67,13 @@ class SeparableConv1d(nn.Module):
     @nn.compact
     def __call__(self, x):
         ni = x.shape[-1]
+        # torch-parity init: grouped-conv kernel (k, in/groups, out) has
+        # fan_in = k·(in/groups), which torch_conv_kernel_init reads off
+        # the kernel shape
         h = nn.Conv(
             ni, (self.kernel_size,), padding="SAME", feature_group_count=ni,
-            use_bias=False, dtype=self.dtype, name="depthwise",
+            use_bias=False, dtype=self.dtype,
+            kernel_init=torch_conv_kernel_init, name="depthwise",
         )(x)
         return Conv1d(self.features, 1, "SAME", use_bias=False,
                       dtype=self.dtype, name="pointwise")(h)

@@ -27,11 +27,13 @@ bit-parity ports.
 
 Protocol: ``depth``/``part`` accepted for uniformity,
 ``part='latent_space'`` = pre-head features, no split forward.
+Initialization follows the repo's torch-default policy (models/layers.py),
+except mWDN's band matrices (tsai-prescribed db4-diagonal init).
 """
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax
@@ -39,7 +41,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from pcgmix_tpu.models.layers import (
-    BatchNorm, Conv1d, Conv2d, Dense, gap_1d,
+    BatchNorm, Conv1d, Conv2d, Dense, gap_1d, make_torch_bias_init,
+    torch_conv_kernel_init,
 )
 from pcgmix_tpu.models.tsai_inception import InceptionTime
 
@@ -60,10 +63,12 @@ class XCM(nn.Module):
         bn = lambda name: BatchNorm(use_running_average=not self.train, name=name)
 
         # 2-D branch: per-variable temporal conv, (B, C, T, 1) images
+        # (torch-parity init: fan_in = 1·window read off the kernel shape)
         h2 = x[..., None]  # (B, C, T, 1)
         h2 = nn.Conv(
             self.nf, (1, window), padding="SAME", use_bias=True,
-            name="conv2d",
+            kernel_init=torch_conv_kernel_init,
+            bias_init=make_torch_bias_init(window), name="conv2d",
         )(h2)
         h2 = bn("bn2d")(h2)
         h2 = nn.relu(h2)
@@ -197,11 +202,15 @@ class _WaveBlock(nn.Module):
         # x: (B, T, C) → time-axis linear means transposing to (B, C, T)
         h = jnp.swapaxes(x, 1, 2)
         p = h.shape[-1]
+        # biases keep the torch Linear default U(±1/√p) (tsai replaces only
+        # the weight matrices with the band init)
         hp = nn.Dense(
-            p, kernel_init=_mwdn_kernel_init(_MWDN_H, p), name="mWDN_H"
+            p, kernel_init=_mwdn_kernel_init(_MWDN_H, p),
+            bias_init=make_torch_bias_init(p), name="mWDN_H",
         )(h)
         lp = nn.Dense(
-            p, kernel_init=_mwdn_kernel_init(_MWDN_L, p), name="mWDN_L"
+            p, kernel_init=_mwdn_kernel_init(_MWDN_L, p),
+            bias_init=make_torch_bias_init(p), name="mWDN_L",
         )(h)
         hp = jax.nn.sigmoid(hp)
         lp = jax.nn.sigmoid(lp)

@@ -23,16 +23,17 @@ spatial Dense is a (T×T) matmul per block, an MXU-native op.
 Protocol: ``depth``/``part`` accepted for uniformity,
 ``part='latent_space'`` = pre-head features, no split forward (the
 reference's tsai models crash under latentmixup the same way).
+Initialization follows the repo's torch-default policy (models/layers.py);
+recurrent cells use torch's U(±1/√hidden) for every weight and bias, and
+gMLP's spatial projection keeps the paper-prescribed near-zero/ones init.
 """
 
 from __future__ import annotations
 
-from typing import Any
-
 import flax.linen as nn
 import jax.numpy as jnp
 
-from pcgmix_tpu.models.layers import Conv1d, Dense
+from pcgmix_tpu.models.layers import Conv1d, Dense, make_torch_bias_init
 
 
 class TsaiRNN(nn.Module):
@@ -46,10 +47,20 @@ class TsaiRNN(nn.Module):
     @nn.compact
     def __call__(self, x, depth: int = 0, part: str | None = None):
         h = jnp.transpose(x, (0, 2, 1))  # (B, T, C)
+        # torch initializes EVERY recurrent weight/bias U(±1/√hidden)
+        # (nn.RNNBase.reset_parameters) — match that distribution instead
+        # of flax's lecun_normal/orthogonal defaults (repo torch-parity
+        # init policy, models/layers.py)
+        u = make_torch_bias_init(self.hidden_size)
+        init_kw = dict(
+            kernel_init=u, recurrent_kernel_init=u, bias_init=u,
+        )
         cell = {
-            "rnn": lambda: nn.SimpleCell(features=self.hidden_size),
-            "lstm": lambda: nn.OptimizedLSTMCell(features=self.hidden_size),
-            "gru": lambda: nn.GRUCell(features=self.hidden_size),
+            "rnn": lambda: nn.SimpleCell(features=self.hidden_size, **init_kw),
+            "lstm": lambda: nn.OptimizedLSTMCell(
+                features=self.hidden_size, **init_kw
+            ),
+            "gru": lambda: nn.GRUCell(features=self.hidden_size, **init_kw),
         }[self.cell_type]()
         out = nn.RNN(cell, name="rnn")(h)  # (B, T, H)
         last = out[:, -1]

@@ -16,7 +16,8 @@ no bit-parity oracle).  xresnet18 structure ("Bag of Tricks" tweaks):
 
 The Plus variant differs in tsai only by block plumbing conveniences and
 head composition options (defaults identical) — the registry maps
-'XResNet1d18Plus' to this class.
+'XResNet1d18Plus' to this class.  Initialization follows the repo's
+torch-default policy (models/layers.py wrappers throughout).
 """
 
 from __future__ import annotations
@@ -24,7 +25,9 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from pcgmix_tpu.models.layers import ConvBNAct, Dense, gap_1d
+from pcgmix_tpu.models.layers import (
+    BatchNorm, Conv1d, ConvBNAct, Dense, gap_1d,
+)
 
 
 def _avg_pool_ceil(x, window: int = 2):
@@ -51,15 +54,12 @@ class _BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # conv-BN-ReLU(3, stride) — torch pad=1
-        h = nn.Conv(
-            self.nf, (3,), strides=(self.stride,), padding=[(1, 1)],
-            use_bias=False, name="convpath1_conv",
+        # conv-BN-ReLU(3, stride) — torch pad=1, repo torch-parity init
+        h = Conv1d(
+            self.nf, 3, padding=1, stride=self.stride, use_bias=False,
+            name="convpath1_conv",
         )(x)
-        h = nn.BatchNorm(
-            use_running_average=not self.train, momentum=0.9,
-            epsilon=1e-5, name="convpath1_bn",
-        )(h)
+        h = BatchNorm(use_running_average=not self.train, name="convpath1_bn")(h)
         h = nn.relu(h)
         h = ConvBNAct(self.nf, 3, act=None, train=self.train, name="convpath2")(h)
         sc = x
@@ -80,10 +80,9 @@ class XResNet1d18(nn.Module):
     def __call__(self, x, depth: int = 0, part: str | None = None):
         h = jnp.transpose(x, (0, 2, 1))
         # stem (stride-2 first conv): strided conv + BN + ReLU, then 2 blocks
-        h = nn.Conv(32, (3,), strides=(2,), padding=[(1, 1)], use_bias=False,
-                    name="stem0_conv")(h)
-        h = nn.BatchNorm(use_running_average=not self.train, momentum=0.9,
-                         epsilon=1e-5, name="stem0_bn")(h)
+        h = Conv1d(32, 3, padding=1, stride=2, use_bias=False,
+                   name="stem0_conv")(h)
+        h = BatchNorm(use_running_average=not self.train, name="stem0_bn")(h)
         h = nn.relu(h)
         h = ConvBNAct(32, 3, train=self.train, name="stem1")(h)
         h = ConvBNAct(64, 3, train=self.train, name="stem2")(h)
