@@ -192,6 +192,58 @@ def test_gru_matches_torch_transplant():
     )
 
 
+def test_lstm_matches_torch_transplant():
+    """LSTM parity: flax gate kernels (i/f/g/o split, input kernels
+    bias-free, hidden kernels biased) mapped onto torch.nn.LSTM's
+    concatenated weights; compare full-sequence last-step outputs."""
+    torch = pytest.importorskip("torch")
+    from pcgmix_tpu.models.tsai_seq import TsaiRNN
+
+    c_in, hidden, t = 4, 8, 16
+    model = TsaiRNN(num_classes=2, hidden_size=hidden, cell_type="lstm", train=False)
+    x = _x((2, c_in, t), seed=5)
+    v = model.init(KEY, x)
+    cell = v["params"]["OptimizedLSTMCell_0"]
+
+    tl = torch.nn.LSTM(c_in, hidden, batch_first=True)
+    with torch.no_grad():
+        gates = ("i", "f", "g", "o")  # torch gate order
+        tl.weight_ih_l0.copy_(torch.tensor(np.concatenate(
+            [np.asarray(cell[f"i{g}"]["kernel"]).T for g in gates])))
+        tl.weight_hh_l0.copy_(torch.tensor(np.concatenate(
+            [np.asarray(cell[f"h{g}"]["kernel"]).T for g in gates])))
+        tl.bias_ih_l0.zero_()
+        tl.bias_hh_l0.copy_(torch.tensor(np.concatenate(
+            [np.asarray(cell[f"h{g}"]["bias"]) for g in gates])))
+        ref, _ = tl(torch.tensor(np.asarray(x)).permute(0, 2, 1))
+
+    lat = model.apply(v, x, part="latent_space")
+    np.testing.assert_allclose(np.asarray(lat), ref[:, -1].numpy(), atol=1e-5)
+
+
+def test_rnn_matches_torch_transplant():
+    """Vanilla tanh RNN parity against torch.nn.RNN."""
+    torch = pytest.importorskip("torch")
+    from pcgmix_tpu.models.tsai_seq import TsaiRNN
+
+    c_in, hidden, t = 4, 8, 16
+    model = TsaiRNN(num_classes=2, hidden_size=hidden, cell_type="rnn", train=False)
+    x = _x((2, c_in, t), seed=7)
+    v = model.init(KEY, x)
+    cell = v["params"]["SimpleCell_0"]
+
+    tr = torch.nn.RNN(c_in, hidden, batch_first=True)
+    with torch.no_grad():
+        tr.weight_ih_l0.copy_(torch.tensor(np.asarray(cell["i"]["kernel"]).T))
+        tr.weight_hh_l0.copy_(torch.tensor(np.asarray(cell["h"]["kernel"]).T))
+        tr.bias_ih_l0.copy_(torch.tensor(np.asarray(cell["i"]["bias"])))
+        tr.bias_hh_l0.zero_()
+        ref, _ = tr(torch.tensor(np.asarray(x)).permute(0, 2, 1))
+
+    lat = model.apply(v, x, part="latent_space")
+    np.testing.assert_allclose(np.asarray(lat), ref[:, -1].numpy(), atol=1e-5)
+
+
 @pytest.mark.parametrize("name", TSAI_NAMES)
 def test_no_split_forward(name):
     """latentmixup's depth draw must raise for tsai names — the reference
