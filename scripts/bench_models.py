@@ -212,6 +212,10 @@ def main():
     ap.add_argument("--batch-sweep", action="store_true",
                     help="instead of the model rows, sweep ResNet9 1-D "
                          "batch sizes (128, 256) for the scaling curve")
+    ap.add_argument("--zoo", action="store_true",
+                    help="instead of the model rows, measure the tsai-zoo "
+                         "conv families (InceptionTime, XceptionTime, "
+                         "XResNet1d18) at the headline 1-D config")
     args = ap.parse_args()
 
     import jax
@@ -229,6 +233,18 @@ def main():
             out[f"resnet9_1d_durmixmagwarp_b{b}"] = bench_config(
                 f"ResNet9-b{b}", "resnet9", "PhysioNet",
                 "durmixmagwarp(0.2,4)", b, args.windows,
+            )
+        print(json.dumps(out, indent=2))
+        return
+    if args.zoo:
+        # the conv-family zoo models at the headline workload; the
+        # quadratic-by-design (XCM at window=T) and sequential (RNN family)
+        # zoo members are excluded — their cost profile is the
+        # architecture's, not the framework's
+        for name in ("InceptionTime", "XceptionTime", "XResNet1d18"):
+            out[f"{name.lower()}_1d_durmixmagwarp"] = bench_config(
+                name, name, "PhysioNet", "durmixmagwarp(0.2,4)", 64,
+                args.windows,
             )
         print(json.dumps(out, indent=2))
         return
