@@ -96,11 +96,14 @@ def build_model(
             num_classes=num_classes, depth_variant=int(name.split("_d")[1]), train=train
         )
     if name in ("InceptionTime", "InceptionTimePlus"):
-        return InceptionTime(num_classes=num_classes, train=train)
+        return InceptionTime(num_classes=num_classes, train=train,
+                             dtype=compute_dtype)
     if name in ("XceptionTime", "XceptionTimePlus"):
-        return XceptionTime(num_classes=num_classes, train=train)
+        return XceptionTime(num_classes=num_classes, train=train,
+                            dtype=compute_dtype)
     if name in ("XResNet1d18", "XResNet1d18Plus"):
-        return XResNet1d18(num_classes=num_classes, train=train)
+        return XResNet1d18(num_classes=num_classes, train=train,
+                           dtype=compute_dtype)
     if name == "ResNetPlus":
         # tsai ResNetPlus == the ResNet trunk (nf 64/128/128, ks [7,5,3])
         # with an identical default head
@@ -109,15 +112,18 @@ def build_model(
         # tsai FCNPlus == FCN (layers [128,256,128], kss [7,5,3])
         return FCN(num_classes=num_classes, train=train)
     if name in ("RNN", "LSTM", "GRU"):
+        # sequential time scan — fp32 throughout (no MXU-bound matmuls
+        # big enough for a bf16 win)
         return TsaiRNN(num_classes=num_classes, cell_type=name.lower(), train=train)
     if name == "gMLP":
-        return GMLP(num_classes=num_classes, train=train)
+        return GMLP(num_classes=num_classes, train=train, dtype=compute_dtype)
     if name in ("XCM", "XCMPlus"):
-        return XCM(num_classes=num_classes, train=train)
+        return XCM(num_classes=num_classes, train=train, dtype=compute_dtype)
     if name == "mWDN":
-        return MWDN(num_classes=num_classes, train=train)
+        return MWDN(num_classes=num_classes, train=train, dtype=compute_dtype)
     if name == "OmniScaleCNN":
-        return OmniScaleCNN(num_classes=num_classes, train=train)
+        return OmniScaleCNN(num_classes=num_classes, train=train,
+                            dtype=compute_dtype)
     raise ValueError(f"unknown model {name!r}; available: {', '.join(MODEL_NAMES)}")
 
 

@@ -85,24 +85,27 @@ class InceptionModule(nn.Module):
     nf: int
     ks: int = 40
     train: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         ni = x.shape[-1]
         h = (
-            Conv1d(self.nf, 1, "SAME", use_bias=False, name="bottleneck")(x)
+            Conv1d(self.nf, 1, "SAME", use_bias=False, dtype=self.dtype,
+                   name="bottleneck")(x)
             if ni > 1
             else x
         )
         branches = [
-            Conv1d(self.nf, k, "SAME", use_bias=False, name=f"conv{i}")(h)
+            Conv1d(self.nf, k, "SAME", use_bias=False, dtype=self.dtype,
+                   name=f"conv{i}")(h)
             for i, k in enumerate(_odd_ks(self.ks))
         ]
-        mp = Conv1d(self.nf, 1, "SAME", use_bias=False, name="mp_conv")(
-            max_pool_same_1d(x)
-        )
+        mp = Conv1d(self.nf, 1, "SAME", use_bias=False, dtype=self.dtype,
+                    name="mp_conv")(max_pool_same_1d(x))
         out = jnp.concatenate(branches + [mp], axis=-1)
-        out = BatchNorm(use_running_average=not self.train, name="bn")(out)
+        out = BatchNorm(use_running_average=not self.train, dtype=self.dtype,
+                        name="bn")(out)
         return nn.relu(out)
 
 
@@ -113,22 +116,26 @@ class InceptionTime(nn.Module):
     nf: int = 32
     depth: int = 6
     train: bool = True
+    dtype: Any = None  # computation dtype (bfloat16 = full-rate MXU)
 
     @nn.compact
     def __call__(self, x, depth: int = 0, part: str | None = None):
         h = jnp.transpose(x, (0, 2, 1))
         res = h
         for d in range(self.depth):
-            h = InceptionModule(self.nf, train=self.train, name=f"inception{d}")(h)
+            h = InceptionModule(self.nf, train=self.train, dtype=self.dtype,
+                                name=f"inception{d}")(h)
             if d % 3 == 2:
                 ni, no = res.shape[-1], h.shape[-1]
                 if ni == no:
                     sc = BatchNorm(
-                        use_running_average=not self.train, name=f"shortcut{d // 3}"
+                        use_running_average=not self.train, dtype=self.dtype,
+                        name=f"shortcut{d // 3}"
                     )(res)
                 else:
                     sc = ConvBNAct(
-                        no, 1, act=None, train=self.train, name=f"shortcut{d // 3}"
+                        no, 1, act=None, train=self.train, dtype=self.dtype,
+                        name=f"shortcut{d // 3}"
                     )(res)
                 h = nn.relu(h + sc)
                 res = h
@@ -144,17 +151,18 @@ class XceptionModule(nn.Module):
 
     nf: int
     ks: int = 40
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        h = Conv1d(self.nf, 1, "SAME", use_bias=False, name="bottleneck")(x)
+        h = Conv1d(self.nf, 1, "SAME", use_bias=False, dtype=self.dtype,
+                   name="bottleneck")(x)
         branches = [
-            SeparableConv1d(self.nf, k, name=f"sepconv{i}")(h)
+            SeparableConv1d(self.nf, k, dtype=self.dtype, name=f"sepconv{i}")(h)
             for i, k in enumerate(_odd_ks(self.ks))
         ]
-        mp = Conv1d(self.nf, 1, "SAME", use_bias=False, name="mp_conv")(
-            max_pool_same_1d(x)
-        )
+        mp = Conv1d(self.nf, 1, "SAME", use_bias=False, dtype=self.dtype,
+                    name="mp_conv")(max_pool_same_1d(x))
         return jnp.concatenate(branches + [mp], axis=-1)
 
 
@@ -180,25 +188,31 @@ class XceptionTime(nn.Module):
     nf: int = 16
     depth: int = 4
     train: bool = True
+    dtype: Any = None  # computation dtype (bfloat16 = full-rate MXU)
 
     @nn.compact
     def __call__(self, x, depth: int = 0, part: str | None = None):
         h = jnp.transpose(x, (0, 2, 1))
         res = h
         for d in range(self.depth):
-            h = XceptionModule(self.nf * 2**d, name=f"xception{d}")(h)
+            h = XceptionModule(self.nf * 2**d, dtype=self.dtype,
+                               name=f"xception{d}")(h)
             if d % 2 == 1:
                 sc = ConvBNAct(
                     h.shape[-1], 1, act=None, train=self.train,
-                    name=f"shortcut{d // 2}",
+                    dtype=self.dtype, name=f"shortcut{d // 2}",
                 )(res)
                 h = nn.relu(h + sc)
                 res = h
         head_nf = self.nf * 4 * 2 ** (self.depth - 1)  # 512 at nf=16
         h = adaptive_avg_pool_1d(h, 50)
-        h = ConvBNAct(head_nf // 2, 1, train=self.train, name="head1")(h)
-        h = ConvBNAct(head_nf // 4, 1, train=self.train, name="head2")(h)
+        h = ConvBNAct(head_nf // 2, 1, train=self.train, dtype=self.dtype,
+                      name="head1")(h)
+        h = ConvBNAct(head_nf // 4, 1, train=self.train, dtype=self.dtype,
+                      name="head2")(h)
         if part == "latent_space":
             return gap_1d(h)
-        h = ConvBNAct(self.num_classes, 1, train=self.train, name="head3")(h)
-        return gap_1d(h)
+        h = ConvBNAct(self.num_classes, 1, train=self.train, dtype=self.dtype,
+                      name="head3")(h)
+        # logits in fp32 like every Dense-headed model (loss math precision)
+        return gap_1d(h).astype(jnp.float32)

@@ -33,7 +33,7 @@ except mWDN's band matrices (tsai-prescribed db4-diagonal init).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -54,38 +54,40 @@ class XCM(nn.Module):
     nf: int = 128
     window_perc: float = 1.0
     train: bool = True
+    dtype: Any = None  # computation dtype (bfloat16 = full-rate MXU)
 
     @nn.compact
     def __call__(self, x, depth: int = 0, part: str | None = None):
         # x: (B, C, T)
         t = x.shape[-1]
         window = max(1, int(round(t * self.window_perc)))
-        bn = lambda name: BatchNorm(use_running_average=not self.train, name=name)
+        bn = lambda name: BatchNorm(use_running_average=not self.train,
+                                    dtype=self.dtype, name=name)
 
         # 2-D branch: per-variable temporal conv, (B, C, T, 1) images
         # (torch-parity init: fan_in = 1·window read off the kernel shape)
         h2 = x[..., None]  # (B, C, T, 1)
         h2 = nn.Conv(
             self.nf, (1, window), padding="SAME", use_bias=True,
-            kernel_init=torch_conv_kernel_init,
+            dtype=self.dtype, kernel_init=torch_conv_kernel_init,
             bias_init=make_torch_bias_init(window), name="conv2d",
         )(h2)
         h2 = bn("bn2d")(h2)
         h2 = nn.relu(h2)
-        h2 = Conv2d(1, 1, "SAME", name="conv2d_1x1")(h2)
+        h2 = Conv2d(1, 1, "SAME", dtype=self.dtype, name="conv2d_1x1")(h2)
         h2 = nn.relu(h2)[..., 0]  # (B, C, T)
         h2 = jnp.transpose(h2, (0, 2, 1))  # (B, T, C)
 
         # 1-D branch over all variables
         h1 = jnp.transpose(x, (0, 2, 1))  # (B, T, C)
-        h1 = Conv1d(self.nf, window, "SAME", name="conv1d")(h1)
+        h1 = Conv1d(self.nf, window, "SAME", dtype=self.dtype, name="conv1d")(h1)
         h1 = bn("bn1d")(h1)
         h1 = nn.relu(h1)
-        h1 = Conv1d(1, 1, "SAME", name="conv1d_1x1")(h1)
+        h1 = Conv1d(1, 1, "SAME", dtype=self.dtype, name="conv1d_1x1")(h1)
         h1 = nn.relu(h1)  # (B, T, 1)
 
         h = jnp.concatenate([h2, h1], axis=-1)  # (B, T, C+1)
-        h = Conv1d(self.nf, window, "SAME", name="conv1d_top")(h)
+        h = Conv1d(self.nf, window, "SAME", dtype=self.dtype, name="conv1d_top")(h)
         h = bn("bn_top")(h)
         h = nn.relu(h)
         h = gap_1d(h)
@@ -135,6 +137,7 @@ class _OmniScaleLayer(nn.Module):
 
     params: Sequence[tuple[int, int, int]]
     train: bool
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -143,8 +146,9 @@ class _OmniScaleLayer(nn.Module):
             # tsai SampaddingConv1D_BN pads ((ks-1)//2, ks//2) — asymmetric
             # for even kernels; passed as an explicit per-dim pair
             pad = (((ks - 1) // 2, ks // 2),)
-            h = Conv1d(oc, ks, padding=pad, name=f"conv{i}")(x)
-            h = BatchNorm(use_running_average=not self.train, name=f"bn{i}")(h)
+            h = Conv1d(oc, ks, padding=pad, dtype=self.dtype, name=f"conv{i}")(x)
+            h = BatchNorm(use_running_average=not self.train, dtype=self.dtype,
+                          name=f"bn{i}")(h)
             outs.append(h)
         return nn.relu(jnp.concatenate(outs, axis=-1))
 
@@ -154,6 +158,7 @@ class OmniScaleCNN(nn.Module):
 
     num_classes: int = 2
     train: bool = True
+    dtype: Any = None  # computation dtype (bfloat16 = full-rate MXU)
 
     @nn.compact
     def __call__(self, x, depth: int = 0, part: str | None = None):
@@ -161,7 +166,8 @@ class OmniScaleCNN(nn.Module):
         for li, layer in enumerate(
             omniscale_layer_parameters(x.shape[-1], x.shape[1])
         ):
-            h = _OmniScaleLayer(tuple(layer), self.train, name=f"layer{li}")(h)
+            h = _OmniScaleLayer(tuple(layer), self.train, dtype=self.dtype,
+                                name=f"layer{li}")(h)
         h = gap_1d(h)
         if part == "latent_space":
             return h
@@ -230,6 +236,8 @@ class MWDN(nn.Module):
     num_classes: int = 2
     levels: int = 3
     train: bool = True
+    dtype: Any = None  # computation dtype (applies to the trunk; the
+                       # (T, T) wave linears stay fp32 — sigmoid-saturated)
 
     @nn.compact
     def __call__(self, x, depth: int = 0, part: str | None = None):
@@ -240,5 +248,6 @@ class MWDN(nn.Module):
             hps.append(hp)
         seq = jnp.concatenate(hps + [h], axis=1)  # concat along time
         return InceptionTime(
-            num_classes=self.num_classes, train=self.train, name="base"
+            num_classes=self.num_classes, train=self.train, dtype=self.dtype,
+            name="base"
         )(jnp.transpose(seq, (0, 2, 1)), part=part)

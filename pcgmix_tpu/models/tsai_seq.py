@@ -30,6 +30,8 @@ gMLP's spatial projection keeps the paper-prescribed near-zero/ones init.
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -73,6 +75,8 @@ class _SpatialGatingUnit(nn.Module):
     """Split channels → LayerNorm gate half → time-axis Dense (W≈0, b=1)
     → elementwise gate (gMLP paper §2; tsai _SpatialGatingUnit)."""
 
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, x):
         u, v = jnp.split(x, 2, axis=-1)
@@ -81,6 +85,7 @@ class _SpatialGatingUnit(nn.Module):
         v = jnp.swapaxes(v, 1, 2)  # (B, C/2, T)
         v = nn.Dense(
             t,
+            dtype=self.dtype,
             kernel_init=nn.initializers.normal(stddev=1e-4),
             bias_init=nn.initializers.ones,
             name="spatial_proj",
@@ -91,15 +96,16 @@ class _SpatialGatingUnit(nn.Module):
 
 class _GMLPBlock(nn.Module):
     d_ffn: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         d_model = x.shape[-1]
         h = nn.LayerNorm(name="norm")(x)
-        h = Dense(self.d_ffn, name="proj_in")(h)
+        h = Dense(self.d_ffn, dtype=self.dtype, name="proj_in")(h)
         h = nn.gelu(h)
-        h = _SpatialGatingUnit(name="sgu")(h)
-        h = Dense(d_model, name="proj_out")(h)
+        h = _SpatialGatingUnit(dtype=self.dtype, name="sgu")(h)
+        h = Dense(d_model, dtype=self.dtype, name="proj_out")(h)
         return x + h
 
 
@@ -113,6 +119,7 @@ class GMLP(nn.Module):
     depth: int = 6
     patch_size: int = 1
     train: bool = True
+    dtype: Any = None  # computation dtype for the MXU-heavy blocks
 
     @nn.compact
     def __call__(self, x, depth: int = 0, part: str | None = None):
@@ -120,10 +127,10 @@ class GMLP(nn.Module):
         # patch embedding: Conv1d(c_in, d_model, patch, stride=patch)
         h = Conv1d(
             self.d_model, self.patch_size, padding=0, stride=self.patch_size,
-            name="patcher",
+            dtype=self.dtype, name="patcher",
         )(h)
         for i in range(self.depth):
-            h = _GMLPBlock(self.d_ffn, name=f"block{i}")(h)
+            h = _GMLPBlock(self.d_ffn, dtype=self.dtype, name=f"block{i}")(h)
         h = jnp.mean(h, axis=1)
         if part == "latent_space":
             return h

@@ -22,6 +22,8 @@ torch-default policy (models/layers.py wrappers throughout).
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -51,22 +53,26 @@ class _BasicBlock(nn.Module):
     nf: int
     stride: int
     train: bool
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         # conv-BN-ReLU(3, stride) — torch pad=1, repo torch-parity init
         h = Conv1d(
             self.nf, 3, padding=1, stride=self.stride, use_bias=False,
-            name="convpath1_conv",
+            dtype=self.dtype, name="convpath1_conv",
         )(x)
-        h = BatchNorm(use_running_average=not self.train, name="convpath1_bn")(h)
+        h = BatchNorm(use_running_average=not self.train, dtype=self.dtype,
+                      name="convpath1_bn")(h)
         h = nn.relu(h)
-        h = ConvBNAct(self.nf, 3, act=None, train=self.train, name="convpath2")(h)
+        h = ConvBNAct(self.nf, 3, act=None, train=self.train,
+                      dtype=self.dtype, name="convpath2")(h)
         sc = x
         if self.stride > 1:
             sc = _avg_pool_ceil(sc, self.stride)
         if sc.shape[-1] != self.nf:
-            sc = ConvBNAct(self.nf, 1, act=None, train=self.train, name="idpath")(sc)
+            sc = ConvBNAct(self.nf, 1, act=None, train=self.train,
+                           dtype=self.dtype, name="idpath")(sc)
         return nn.relu(h + sc)
 
 
@@ -75,23 +81,26 @@ class XResNet1d18(nn.Module):
     widths: tuple = (64, 128, 256, 512)
     blocks_per_stage: int = 2
     train: bool = True
+    dtype: Any = None  # computation dtype (bfloat16 = full-rate MXU)
 
     @nn.compact
     def __call__(self, x, depth: int = 0, part: str | None = None):
         h = jnp.transpose(x, (0, 2, 1))
         # stem (stride-2 first conv): strided conv + BN + ReLU, then 2 blocks
         h = Conv1d(32, 3, padding=1, stride=2, use_bias=False,
-                   name="stem0_conv")(h)
-        h = BatchNorm(use_running_average=not self.train, name="stem0_bn")(h)
+                   dtype=self.dtype, name="stem0_conv")(h)
+        h = BatchNorm(use_running_average=not self.train, dtype=self.dtype,
+                      name="stem0_bn")(h)
         h = nn.relu(h)
-        h = ConvBNAct(32, 3, train=self.train, name="stem1")(h)
-        h = ConvBNAct(64, 3, train=self.train, name="stem2")(h)
+        h = ConvBNAct(32, 3, train=self.train, dtype=self.dtype, name="stem1")(h)
+        h = ConvBNAct(64, 3, train=self.train, dtype=self.dtype, name="stem2")(h)
         h = jnp.pad(h, ((0, 0), (1, 1), (0, 0)), constant_values=-jnp.inf)
         h = nn.max_pool(h, (3,), strides=(2,), padding="VALID")
         for s, nf in enumerate(self.widths):
             for b in range(self.blocks_per_stage):
                 stride = 2 if (s > 0 and b == 0) else 1
-                h = _BasicBlock(nf, stride, self.train, name=f"stage{s}_block{b}")(h)
+                h = _BasicBlock(nf, stride, self.train, dtype=self.dtype,
+                                name=f"stage{s}_block{b}")(h)
         h = gap_1d(h)
         if part == "latent_space":
             return h

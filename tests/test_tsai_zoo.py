@@ -266,3 +266,21 @@ def test_train_model_integration():
             ds,
         )
         assert np.isfinite(perf["train_loss"][-1])
+
+
+@pytest.mark.parametrize(
+    "name", ["InceptionTime", "XceptionTime", "XResNet1d18", "gMLP", "XCM",
+             "mWDN", "OmniScaleCNN"],
+)
+def test_bf16_compute_mode(name):
+    """The TPU fast path: bf16 compute, fp32 params, fp32 logits, finite."""
+    import jax.numpy as jnp
+
+    model = build_model(name, train=False, compute_dtype=jnp.bfloat16)
+    x = _x((2, 4, 128), seed=9)
+    v = model.init(KEY, x)
+    out = model.apply(v, x)
+    assert out.dtype == jnp.float32
+    assert np.isfinite(np.asarray(out)).all()
+    for leaf in jax.tree_util.tree_leaves(v["params"]):
+        assert leaf.dtype == jnp.float32
