@@ -235,3 +235,29 @@ def test_pallas_train_model_under_dp_mesh():
     np.testing.assert_allclose(
         got["test_accuracy"], ref["test_accuracy"], atol=1.0
     )
+
+
+def test_zoo_model_under_dp_mesh():
+    """A tsai-zoo family composes with the integrated DP mesh: a 4-device
+    InceptionTime run reproduces the single-device metrics (same tolerance
+    rationale as the resnet9 multi-epoch case)."""
+    from pcgmix_tpu.data import synthetic_physionet_dict
+    from pcgmix_tpu.train import TrainConfig, train_model
+
+    ds = synthetic_physionet_dict(
+        num_wavs_train=16, num_wavs_test=6, segments_per_wav=2,
+        sig_len=T, seed=11,
+    )
+    kw = dict(
+        dataset="PhysioNet", model="InceptionTime",
+        method="durratiomixup", num_epochs=2, batch_size=B,
+        sig_len=T, lr_max=0.001, save_artifacts=False, loader_parity="numpy",
+    )
+    p1 = train_model(TrainConfig(n_devices=1, **kw), ds)
+    p4 = train_model(TrainConfig(n_devices=4, **kw), ds)
+    np.testing.assert_allclose(
+        p1["train_loss"], p4["train_loss"], rtol=2e-2, atol=2e-2
+    )
+    np.testing.assert_allclose(
+        p1["test_accuracy"][-1], p4["test_accuracy"][-1], atol=1e-6
+    )
