@@ -67,9 +67,13 @@ def build_model(
 
     ``dataset`` selects 2-D variants for spectrogram datasets and adjusts
     nothing else — classifier sizes are shape-inferred.  ``compute_dtype``
-    (e.g. jnp.bfloat16) switches the ResNet9/Potes compute paths off float32
-    — a TPU throughput mode, off by default for reference parity (other
-    families are small enough that fp32 is not a bottleneck and ignore it).
+    (e.g. jnp.bfloat16) switches the compute path off float32 — a TPU
+    throughput mode, off by default for reference parity.  Families that
+    honor it: ResNet9 (1-D/2-D), Potes, InceptionTime(Plus),
+    XceptionTime(Plus), XResNet1d18(Plus), gMLP, XCM(Plus), mWDN,
+    OmniScaleCNN.  Families that ignore it (always fp32): FCN(Plus),
+    ResCNN, ResNet(Plus), Singstad_d*, RNN/LSTM/GRU — small or
+    scan-sequential nets where bf16 buys nothing (BENCH.md zoo rows).
     """
     if dataset in ("PhysioNet(spec128)", "UMC(spec128)", "UMC(spec64)"):
         if name == "resnet9":

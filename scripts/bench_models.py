@@ -34,7 +34,8 @@ def _log(msg: str) -> None:
           file=sys.stderr, flush=True)
 
 
-def bench_config(name, model_name, dataset, method, batch, windows):
+def bench_config(name, model_name, dataset, method, batch, windows,
+                 compute_dtype="bf16"):
     import jax
     import jax.numpy as jnp
 
@@ -77,8 +78,9 @@ def bench_config(name, model_name, dataset, method, batch, windows):
         channels, spec_freq = 4, 0
         example = jnp.zeros((1, channels, sig_len), jnp.float32)
 
+    dtype = jnp.bfloat16 if compute_dtype == "bf16" else None
     model = build_model(model_name, dataset=dataset, train=True,
-                        compute_dtype=jnp.bfloat16)
+                        compute_dtype=dtype)
     tx = make_optimizer("adam", 0.01, 1e-4, 0.1, 10_000, use_sched=True)
     variables = model.init(jax.random.PRNGKey(4), example)
     state = TrainState(
@@ -216,6 +218,10 @@ def main():
                     help="instead of the model rows, measure the tsai-zoo "
                          "conv families (InceptionTime, XceptionTime, "
                          "XResNet1d18) at the headline 1-D config")
+    ap.add_argument("--compute-dtype", choices=("bf16", "fp32"),
+                    default="bf16",
+                    help="model compute dtype for the training rows "
+                         "(BENCH.md zoo table has both columns)")
     args = ap.parse_args()
 
     import jax
@@ -227,12 +233,14 @@ def main():
         pass
 
     out = {"device": jax.devices()[0].device_kind, "batch": 64,
-           "measure_steps": MEASURE_STEPS, "windows": args.windows}
+           "measure_steps": MEASURE_STEPS, "windows": args.windows,
+           "compute_dtype": args.compute_dtype}
+    dt = args.compute_dtype
     if args.batch_sweep:
         for b in (128, 256):
             out[f"resnet9_1d_durmixmagwarp_b{b}"] = bench_config(
                 f"ResNet9-b{b}", "resnet9", "PhysioNet",
-                "durmixmagwarp(0.2,4)", b, args.windows,
+                "durmixmagwarp(0.2,4)", b, args.windows, compute_dtype=dt,
             )
         print(json.dumps(out, indent=2))
         return
@@ -244,17 +252,17 @@ def main():
         for name in ("InceptionTime", "XceptionTime", "XResNet1d18"):
             out[f"{name.lower()}_1d_durmixmagwarp"] = bench_config(
                 name, name, "PhysioNet", "durmixmagwarp(0.2,4)", 64,
-                args.windows,
+                args.windows, compute_dtype=dt,
             )
         print(json.dumps(out, indent=2))
         return
     out["potes_1d_durmixmagwarp"] = bench_config(
         "Potes", "Potes", "PhysioNet", "durmixmagwarp(0.2,4)", 64,
-        args.windows,
+        args.windows, compute_dtype=dt,
     )
     out["resnet9_2d_spec128_durratiomixup"] = bench_config(
         "ResNet9-2D", "resnet9", "PhysioNet(spec128)", "durratiomixup", 64,
-        args.windows,
+        args.windows, compute_dtype=dt,
     )
     out["resnet9_1d_inference_b256"] = bench_inference(256, args.windows)
     print(json.dumps(out, indent=2))

@@ -42,7 +42,9 @@ def main(steps=48, reps=3):
     )
 
     BATCH, SIG_LEN, CHANNELS, SCAN_K = 64, 2500, 4, 8
-    n_wavs = max(8, int(np.ceil((steps + 8) * BATCH / 8 * 1.15)))
+    # Cap the resident corpus under the axon jit-captured-constant limit
+    # (~150 MB / HTTP 413); 400 wavs x 8 segs = 50 batches/epoch >= 48 steps.
+    n_wavs = min(400, max(8, int(np.ceil((steps + 8) * BATCH / 8 * 1.15))))
     dataset = synthetic_physionet_dict(
         num_wavs_train=n_wavs, num_wavs_test=2, segments_per_wav=8,
         sig_len=SIG_LEN, seed=0,
@@ -83,43 +85,39 @@ def main(steps=48, reps=3):
                 break
         return out
 
-    def flushes_of(bs, start):
-        """[(indices (K,B), stacked plan arrays, steps (K,))] per flush."""
-        flushes = []
-        for f in range(len(bs) // SCAN_K):
-            chunk = bs[f * SCAN_K:(f + 1) * SCAN_K]
-            arrs, idxs, scs = [], [], []
-            for j, b in enumerate(chunk):
-                sc = start + f * SCAN_K + j
-                a, _ = engine.plan_arrays_or_identity(
-                    sc, b["frames"], b["label"], b["wav"]
-                )
-                arrs.append(a); idxs.append(b["indices"]); scs.append(sc)
-            stacked = jax.tree_util.tree_map(
-                lambda *xs: np.stack([np.asarray(x) for x in xs]), *arrs
+    def build_flush(chunk, flush_start):
+        """(indices (K,B), stacked plan arrays, steps (K,)) for one flush.
+
+        Shared by both arms: the A/B measures only WHEN this work happens
+        (inside vs before the timed loop), so both must run the same code.
+        """
+        arrs, idxs, scs = [], [], []
+        for j, b in enumerate(chunk):
+            sc = flush_start + j
+            a, _ = engine.plan_arrays_or_identity(
+                sc, b["frames"], b["label"], b["wav"]
             )
-            flushes.append((jnp.asarray(np.stack(idxs)), stacked,
-                            jnp.asarray(scs)))
-        return flushes
+            arrs.append(a); idxs.append(b["indices"]); scs.append(sc)
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]), *arrs
+        )
+        return jnp.asarray(np.stack(idxs)), stacked, jnp.asarray(scs)
+
+    def flushes_of(bs, start):
+        return [
+            build_flush(bs[f * SCAN_K:(f + 1) * SCAN_K], start + f * SCAN_K)
+            for f in range(len(bs) // SCAN_K)
+        ]
 
     def run_live(n, start):
         nonlocal state
         bs = window_batches(start, n)
         executed = 0
         for f in range(len(bs) // SCAN_K):
-            chunk = bs[f * SCAN_K:(f + 1) * SCAN_K]
-            arrs, idxs, scs = [], [], []
-            for j, b in enumerate(chunk):
-                sc = start + f * SCAN_K + j
-                a, _ = engine.plan_arrays_or_identity(
-                    sc, b["frames"], b["label"], b["wav"]
-                )
-                arrs.append(a); idxs.append(b["indices"]); scs.append(sc)
-            stacked = jax.tree_util.tree_map(
-                lambda *xs: np.stack([np.asarray(x) for x in xs]), *arrs
+            idxs, stacked, scs = build_flush(
+                bs[f * SCAN_K:(f + 1) * SCAN_K], start + f * SCAN_K
             )
-            state, _ = multi(state, jnp.asarray(np.stack(idxs)), stacked,
-                             jnp.asarray(scs), 1, key)
+            state, _ = multi(state, idxs, stacked, scs, 1, key)
             executed += SCAN_K
         jax.block_until_ready(state.params)
         return executed
