@@ -26,6 +26,11 @@ from typing import Iterable, Sequence
 import numpy as np
 
 from pcgmix_tpu import utils
+from pcgmix_tpu.data.corpus import (  # shared reference-exact scan primitives
+    STATE_NAMES,
+    scan_cycle_starts,
+    umc_transitions,
+)
 from pcgmix_tpu.ops.spectrogram import melspectrogram, power_to_db
 
 # The eight band definitions the reference builds (databuilder.ipynb cell 21).
@@ -40,30 +45,28 @@ BANDS = {
     "25-1000": (25.0, 1000.0),
 }
 
-STATE_NAMES = ("S1", "systole", "S2", "diastole")
 
-
-def parse_state_sequence(frames: np.ndarray, states: Sequence[str]) -> list[np.ndarray]:
+def parse_state_sequence(
+    frames: np.ndarray, states: Sequence[str], wav: str = "?"
+) -> list[np.ndarray]:
     """Scan a (frame, state) annotation stream for complete
-    [S1, systole, S2, diastole] cycles with no noise marker, returning one
-    [start, e1, e2, e3, e4] frames vector per cycle (databuilder.ipynb cell
-    25's seg_starts scan).
+    [S1, systole, S2, diastole] cycles, returning one [start, e1, e2, e3, e4]
+    frames vector per cycle.
+
+    Delegates to the reference-exact cell-25 scan
+    (corpus.scan_cycle_starts): only the 4 cycle states are checked for the
+    noise marker — a cycle whose *closing* boundary is the start of a noise
+    run is kept, as the reference keeps it — and a malformed window raises
+    ('Segment states are not correct!') rather than being silently skipped.
 
     frames: (K,) sample indices where each state begins; states: (K,) names
     ('S1'/'systole'/'S2'/'diastole', 'N' marks noise).
     """
-    out = []
-    k = 0
-    while k + 4 < len(states):
-        window = list(states[k : k + 5])
-        if window[:4] == list(STATE_NAMES) and "N" not in window:
-            f = frames[k : k + 5].astype(np.int64)
-            if np.all(np.diff(f) > 0):
-                out.append(f)
-            k += 4
-        else:
-            k += 1
-    return out
+    frames = np.asarray(frames)
+    return [
+        frames[i : i + 5].astype(np.int64)
+        for i in scan_cycle_starts(list(states), wav)
+    ]
 
 
 def parse_springer_mat(path: str) -> tuple[np.ndarray, list[str]]:
@@ -75,15 +78,13 @@ def parse_springer_mat(path: str) -> tuple[np.ndarray, list[str]]:
     """
     from scipy.io import loadmat
 
+    from pcgmix_tpu.data.corpus import stateans_stream
+
     m = loadmat(path, simplify_cells=True)
     key = next(k for k in m if not k.startswith("__"))
-    rows = m[key]
-    # NOTE: the .mat frame values are 1-based sample indices, and the
-    # reference uses them AS-IS (databuilder.ipynb cell 25 never subtracts
-    # 1) — parity means keeping that convention.
-    frames = np.array([int(np.ravel(r[0])[0]) for r in rows])
-    states = [str(np.ravel(r[1])[0]).strip("()'\" ") for r in rows]
-    return frames, states
+    # row semantics (1-based frames used AS-IS, quote/paren stripping) live
+    # in one place: corpus.stateans_stream
+    return stateans_stream(m[key])
 
 
 def parse_umc_state_trace(path: str) -> tuple[np.ndarray, list[str]]:
@@ -100,8 +101,8 @@ def parse_umc_state_trace(path: str) -> tuple[np.ndarray, list[str]]:
             f"found {sorted(set(trace[bad].tolist()))} — unsegmented/noise "
             "samples must be handled upstream, not silently mislabeled"
         )
-    frames = np.flatnonzero(np.diff(trace)) + 1
-    states = [STATE_NAMES[trace[s] - 1] for s in frames]
+    frames, codes = umc_transitions(trace)
+    states = [STATE_NAMES[int(c) - 1] for c in codes]
     return frames, states
 
 
@@ -114,8 +115,9 @@ def preprocess_wav(
 
     Runs entirely on host via scipy (the parity target itself): an offline
     corpus build touches thousands of wav×band pairs, and per-call JAX
-    dispatch on the host path measured ~5x slower than C-speed scipy for
-    identical numerics (scripts/bench_builder.py)."""
+    dispatch on the host path measured 10.6x slower than C-speed scipy for
+    identical numerics (BENCH.md builder-throughput table,
+    scripts/bench_builder.py)."""
     from scipy.signal import filtfilt as _scipy_filtfilt
 
     from pcgmix_tpu.ops.filtering import (
@@ -139,13 +141,11 @@ def slice_cycles(
     ``seg_y.resize(2500)`` semantics, not a drop).
 
     Returns (cycles (N, sig_len), frames (N, 5))."""
+    from pcgmix_tpu.data.corpus import _resize
+
     sigs, frames = [], []
     for f in cycle_frames:
-        seg = y[f[0] : f[4]]
-        buf = np.zeros(sig_len, np.float32)
-        m = min(len(seg), sig_len)
-        buf[:m] = seg[:m]
-        sigs.append(buf)
+        sigs.append(_resize(y[f[0] : f[4]], sig_len))
         frames.append(f - f[0])
     if not sigs:
         return np.zeros((0, sig_len), np.float32), np.zeros((0, 5), np.int64)
@@ -279,7 +279,7 @@ def build_1d_dataset(
     labels, frames_out, wavs, sq = [], [], [], []
     for name, rec in recordings.items():
         cycle_frames = parse_state_sequence(
-            np.asarray(rec["frames"]) // rate, rec["states"]
+            np.asarray(rec["frames"]) // rate, rec["states"], wav=name
         )
         if not cycle_frames:
             continue
@@ -333,7 +333,7 @@ def build_spectrogram_dataset(
     for name, rec in recordings.items():
         rate = sr_in // sr_out
         cycle_frames = parse_state_sequence(
-            np.asarray(rec["frames"]) // rate, rec["states"]
+            np.asarray(rec["frames"]) // rate, rec["states"], wav=name
         )
         if not cycle_frames:
             continue
@@ -394,17 +394,25 @@ def main(argv=None):
     p.add_argument("--ann-dir", help="StateAns .mat / state .txt dir (generic mode)")
     p.add_argument("--labels-csv", help="csv: wav,label,sig_qual (generic mode)")
     p.add_argument("--out", required=True, help="output .dat (zlib pickle)")
+    # generic-mode-only flags default to None so --corpus mode can DETECT
+    # (and reject) an explicitly passed value instead of silently ignoring
+    # it; generic mode resolves the real defaults after parsing
     p.add_argument(
-        "--kind", choices=["1d", "full", "spec128", "spec64"], default="1d"
+        "--kind", choices=["1d", "full", "spec128", "spec64"], default=None,
+        help="generic-mode dataset kind (default: 1d)",
     )
-    p.add_argument("--sr-in", type=int, default=2000)
+    p.add_argument(
+        "--sr-in", type=int, default=None,
+        help="generic-mode input sample rate (default: 2000)",
+    )
     p.add_argument(
         "--normalize",
         choices=["physionet", "umc", "none"],
-        default="physionet",
-        help="per-band standardization stats for generic 1d/full builds "
-        "(default: the reference's hardcoded PhysioNet train stats, "
-        "databuilder.ipynb cell 21)",
+        default=None,
+        help="per-band standardization stats for generic 1d/full builds — "
+        "REQUIRED there: 'physionet'/'umc' apply the reference's hardcoded "
+        "train stats (databuilder.ipynb cells 21/12, only correct for data "
+        "distributed like that corpus), 'none' leaves bands unstandardized",
     )
     args = p.parse_args(argv)
 
@@ -413,11 +421,20 @@ def main(argv=None):
 
         if not args.root:
             p.error("--corpus requires --root")
-        if args.wav_dir or args.ann_dir or args.labels_csv:
+        passed_generic = [
+            flag
+            for flag, val in (
+                ("--wav-dir", args.wav_dir), ("--ann-dir", args.ann_dir),
+                ("--labels-csv", args.labels_csv), ("--kind", args.kind),
+                ("--sr-in", args.sr_in), ("--normalize", args.normalize),
+            )
+            if val is not None
+        ]
+        if passed_generic:
             p.error(
-                "--wav-dir/--ann-dir/--labels-csv are generic-mode flags; "
-                "--corpus mode reads everything from --root (and --kind/"
-                "--sr-in/--normalize are likewise generic-mode only)"
+                f"{'/'.join(passed_generic)} are generic-mode flags; "
+                "--corpus mode reads everything from --root and applies "
+                "the reference's hardcoded preprocessing"
             )
         if args.train_wavs and args.corpus != "physionet-spec128":
             # flag-combination mistakes are usage errors; corpus
@@ -433,6 +450,17 @@ def main(argv=None):
 
     if not (args.wav_dir and args.ann_dir and args.labels_csv):
         p.error("generic mode requires --wav-dir, --ann-dir and --labels-csv")
+    if args.normalize is None:
+        # explicit choice required: hardcoded corpus train stats are only
+        # correct for data distributed like that corpus, so never apply
+        # them (or skip them) silently
+        p.error(
+            "generic mode requires --normalize physionet|umc|none "
+            "(hardcoded corpus train stats are only correct for matching "
+            "data; pass 'none' to build unstandardized bands)"
+        )
+    args.kind = args.kind or "1d"
+    args.sr_in = 2000 if args.sr_in is None else args.sr_in
 
     import csv
 

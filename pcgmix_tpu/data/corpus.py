@@ -192,7 +192,7 @@ def read_subset_reference(root: str, subset: str) -> list[tuple[str, int, int]]:
 
 def load_physionet_annotation(
     root: str, subset: str, wav: str, sig_qual: int
-) -> tuple[list[int], list[str]]:
+) -> tuple[np.ndarray, list[str]]:
     """Load a StateAns annotation stream: hand-corrected for sig_qual==1,
     Springer-algorithm for sig_qual==0 (databuilder.ipynb cell 25).
 
@@ -217,14 +217,7 @@ def load_physionet_annotation(
     else:
         raise ValueError("Signal quality has not been determined!")
     m = loadmat(path)
-    rows = m[key]
-    frames = [int(_scalar(r[0])) for r in rows]
-    # strip quote/paren wrappers like the generic parser does
-    # (builder.parse_springer_mat) — '(N' noise markers become 'N', which
-    # the cell-25 noise check still catches; without this, wrapped state
-    # cells would silently yield zero cycles for a recording
-    states = [str(_scalar(r[1])).strip("()'\" ") for r in rows]
-    return frames, states
+    return stateans_stream(m[key])
 
 
 def _scalar(x):
@@ -233,6 +226,21 @@ def _scalar(x):
     while isinstance(x, np.ndarray):
         x = x.ravel()[0]
     return x
+
+
+def stateans_stream(rows) -> tuple[np.ndarray, list[str]]:
+    """(sample, state) StateAns rows → (frames, states).
+
+    The single home for the two reference row conventions (shared by
+    corpus-mode and builder.parse_springer_mat): the .mat frame values are
+    1-based sample indices used AS-IS (databuilder.ipynb cell 25 never
+    subtracts 1), and state cells are stripped of quote/paren wrappers —
+    '(N' noise markers become 'N', which the cell-25 noise check still
+    catches; without this, wrapped state cells would silently yield zero
+    cycles for a recording."""
+    frames = np.array([int(_scalar(np.asarray(r[0]))) for r in rows])
+    states = [str(_scalar(np.asarray(r[1]))).strip("()'\" ") for r in rows]
+    return frames, states
 
 
 # ---------------------------------------------------------------------------
@@ -311,7 +319,11 @@ def _empty_split(bands: Sequence[str] | None) -> dict:
     return d
 
 
-def _finalize(split: dict) -> dict:
+def _finalize(split: dict, feat_shape: tuple[int, ...]) -> dict:
+    """Stack a split's accumulator lists into arrays.  ``feat_shape`` is the
+    per-sample data shape — (sig_len,) for 1-D bands, (size, size) for
+    spectrograms — so an *empty* split still honors the (N, *feat_shape)
+    .dat contract instead of collapsing to (0, 0)."""
     split["label"] = np.asarray(split["label"], np.int64)
     split["frames"] = (
         np.stack(split["frames"]).astype(np.int64)
@@ -319,15 +331,16 @@ def _finalize(split: dict) -> dict:
     )
     split["wav"] = np.asarray(split["wav"], object)
     split["sig_qual"] = np.asarray(split["sig_qual"], np.int64)
+    empty = np.zeros((0, *feat_shape), np.float32)
     if isinstance(split["data"], dict):
         split["data"] = {
-            b: np.stack(v).astype(np.float32) if v else np.zeros((0, 0), np.float32)
+            b: np.stack(v).astype(np.float32) if v else empty
             for b, v in split["data"].items()
         }
     else:
         split["data"] = (
             np.stack(split["data"]).astype(np.float32)
-            if split["data"] else np.zeros((0, 0, 0), np.float32)
+            if split["data"] else empty
         )
     for k in ("id", "excluded"):
         if k in split:
@@ -405,7 +418,10 @@ def build_physionet_1d(
                 if band == bands[0] and len(seg) > sig_len:
                     warnings.warn(f"{wav}: cycle at {i} longer than {sig_len}, truncated")
                 dest["data"][band].append(_resize(seg, sig_len))
-    return {"train": _finalize(train), "test": _finalize(test)}
+    return {
+        "train": _finalize(train, (sig_len,)),
+        "test": _finalize(test, (sig_len,)),
+    }
 
 
 def _resample_2to1(y: np.ndarray) -> np.ndarray:
@@ -469,7 +485,10 @@ def build_physionet_full(
             y_hat = (y_hat - mu) / sd
             for s, _wf in windows:
                 dest["data"][band].append(y_hat[s : s + sig_len])
-    out = {"train": _finalize(train), "test": _finalize(test)}
+    out = {
+        "train": _finalize(train, (sig_len,)),
+        "test": _finalize(test, (sig_len,)),
+    }
     for split in out.values():
         if len(split["frames"]):
             split["frames"] = split["frames"].reshape(-1, max_frames)
@@ -541,7 +560,10 @@ def build_physionet_spec(
             dest["label"].append(label)
             dest["wav"].append(wav)
             dest["sig_qual"].append(sig_qual)
-    return {"train": _finalize(train), "test": _finalize(test)}
+    return {
+        "train": _finalize(train, (size, size)),
+        "test": _finalize(test, (size, size)),
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -623,7 +645,7 @@ def build_umc_1d(
                 if band == bands[0] and len(seg) > sig_len:
                     warnings.warn(f"{rec}: cycle at {i} longer than {sig_len}, truncated")
                 out["data"][band].append(_resize(seg, sig_len))
-    return _finalize(out)
+    return _finalize(out, (sig_len,))
 
 
 def build_umc_spec(
@@ -674,7 +696,7 @@ def build_umc_spec(
             out["id"].append(idx)
             out["sig_qual"].append(sig_qual)
             out["excluded"].append(excluded)
-    return _finalize(out)
+    return _finalize(out, (size, size))
 
 
 # ---------------------------------------------------------------------------

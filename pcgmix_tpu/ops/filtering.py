@@ -69,8 +69,9 @@ def rms_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array
 
 def rms_normalize_host(x: np.ndarray, eps: float = 1e-12) -> np.ndarray:
     """NumPy twin of :func:`rms_normalize` for the host-only builder path
-    (per-call device dispatch measured ~5x slower than C-speed NumPy for
-    offline corpus builds, scripts/bench_builder.py)."""
+    (per-call device dispatch measured 10.6x slower than C-speed NumPy for
+    offline corpus builds — BENCH.md builder-throughput table,
+    scripts/bench_builder.py)."""
     rms = float(np.sqrt(np.mean(np.square(x))))
     return x / max(rms, eps)
 

@@ -157,6 +157,12 @@ def init_state(cfg: TrainConfig, model, train_ds, tx) -> TrainState:
         # opt-in bit-parity fresh-run mode: draw the reference's exact init
         # tensors with torch's RNG under manual_seed(seed_fix)
         # (train_model.py:293) instead of the distributional flax init
+        if cfg.spectrogram:
+            raise NotImplementedError(
+                "torch_init draws the 1-D ResNet9 init tensors; the 2-D "
+                "(spectrogram) models are not covered — transplant a torch "
+                "checkpoint via train.convert.load_torch_checkpoint instead"
+            )
         from pcgmix_tpu.train.convert import torch_seeded_init
 
         variables = jax.tree_util.tree_map(

@@ -23,13 +23,33 @@ def test_parse_state_sequence_complete_cycles():
     np.testing.assert_array_equal(cycles[1], [900, 1000, 1250, 1310, 1800])
 
 
-def test_parse_state_sequence_noise_breaks_cycle():
+def test_parse_state_sequence_noise_semantics():
+    """Reference cell-25 scan: only the 4 cycle states are checked for the
+    noise marker, so a cycle whose *closing* boundary is the start of a
+    noise run is KEPT (its end frame is the noise start), while a cycle
+    containing 'N' among its 4 states is skipped."""
     states = ["S1", "systole", "S2", "diastole", "N", "S1", "systole", "S2",
               "diastole", "S1"]
     frames = np.arange(10) * 100
     cycles = parse_state_sequence(frames, states)
-    assert len(cycles) == 1  # only the second full cycle (5..9) is clean
-    np.testing.assert_array_equal(cycles[0], [500, 600, 700, 800, 900])
+    assert len(cycles) == 2
+    np.testing.assert_array_equal(cycles[0], [0, 100, 200, 300, 400])
+    np.testing.assert_array_equal(cycles[1], [500, 600, 700, 800, 900])
+
+    # noise *inside* the window: the S1 at 0 has 'N' among its 4 states
+    states2 = ["S1", "systole", "N", "S2", "diastole", "S1", "systole", "S2",
+               "diastole", "S1"]
+    cycles2 = parse_state_sequence(np.arange(10) * 100, states2)
+    assert len(cycles2) == 1
+    np.testing.assert_array_equal(cycles2[0], [500, 600, 700, 800, 900])
+
+
+def test_parse_state_sequence_malformed_raises():
+    """A non-noise malformed window raises, matching the reference's
+    'Segment states are not correct!' (databuilder.ipynb cell 25)."""
+    states = ["S1", "S1", "systole", "S2", "diastole", "S1"]
+    with pytest.raises(ValueError, match="not correct"):
+        parse_state_sequence(np.arange(6) * 100, states)
 
 
 def test_parse_umc_state_trace(tmp_path):

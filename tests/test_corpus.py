@@ -398,6 +398,20 @@ def test_umc_spec_corpus(umc_root, tmp_path):
         assert np.isfinite(d["data"]).all()
 
 
+def test_corpus_mode_rejects_generic_flags(umc_root, tmp_path):
+    """--corpus mode must refuse explicitly passed generic-mode flags
+    rather than silently ignoring them (the corpus recipes hardcode the
+    reference's preprocessing)."""
+    out = str(tmp_path / "x.dat")
+    for extra in (["--normalize", "none"], ["--kind", "spec128"],
+                  ["--sr-in", "4000"]):
+        with pytest.raises(SystemExit):
+            builder.main(
+                ["--corpus", "umc-1d", "--root", umc_root, "--out", out]
+                + extra
+            )
+
+
 # ---------------------------------------------------------------------------
 # Generic-mode wav ingestion + default normalization
 # ---------------------------------------------------------------------------
@@ -421,12 +435,20 @@ def test_generic_mode_reads_wavs_and_normalizes(tmp_path):
     out = str(tmp_path / "generic.dat")
     builder.main(
         ["--wav-dir", str(wav_dir), "--ann-dir", str(ann_dir),
-         "--labels-csv", str(csv_path), "--out", out]
+         "--labels-csv", str(csv_path), "--out", out,
+         "--normalize", "physionet"]
     )
     d = file2dict(out)
     assert len(d["label"]) > 0
     assert d["data"]["25-400"].shape[1] == 2500
-    # default --normalize physionet applied (stats shift the distribution)
+    # --normalize is an explicit choice in generic mode (hardcoded corpus
+    # stats must never be applied silently)
+    with pytest.raises(SystemExit):
+        builder.main(
+            ["--wav-dir", str(wav_dir), "--ann-dir", str(ann_dir),
+             "--labels-csv", str(csv_path), "--out", out]
+        )
+    # 'none' skips standardization; physionet stats relate the two builds
     out2 = str(tmp_path / "generic_raw.dat")
     builder.main(
         ["--wav-dir", str(wav_dir), "--ann-dir", str(ann_dir),

@@ -213,3 +213,22 @@ def test_train_model_torch_init_smoke():
         ds,
     )
     assert np.isfinite(perf["train_loss"]).all()
+
+
+def test_torch_init_rejects_2d():
+    """torch_init covers only the 1-D ResNet9 init tensors; a 2-D
+    (spectrogram) config must fail loudly with the transplant pointer, not
+    silently fall back to flax init."""
+    import pytest
+
+    from pcgmix_tpu.data.synthetic import synthetic_spectrogram_dict
+    from pcgmix_tpu.train import TrainConfig, train_model
+
+    ds = synthetic_spectrogram_dict(num_wavs_train=8, num_wavs_test=4, size=32)
+    cfg = TrainConfig(
+        dataset="PhysioNet(spec128)", model="resnet9", method="base",
+        num_epochs=1, batch_size=8, save_artifacts=False,
+        loader_parity="numpy", torch_init=True,
+    )
+    with pytest.raises(NotImplementedError, match="load_torch_checkpoint"):
+        train_model(cfg, ds)
