@@ -8,8 +8,16 @@ from pcgmix_tpu.exp.results import (
     read_performance,
     results_table,
 )
+from pcgmix_tpu.exp.paper import (
+    paper_table,
+    propagate_error,
+    relative_improvement_over_vanilla,
+)
 
 __all__ = [
+    "paper_table",
+    "propagate_error",
+    "relative_improvement_over_vanilla",
     "experiment_dir",
     "experiment_already_done",
     "hyperparameters_robust",
