@@ -41,6 +41,20 @@ def _salopt_dependency(cfg: TrainConfig, robust: bool) -> TrainConfig | None:
     return dep
 
 
+def _latent_dependency(cfg: TrainConfig) -> TrainConfig | None:
+    """The frozen-embedding run a (closestknn/closestbins) method depends on:
+    the reference's canonical ResCNN base run (latent_space.py:27-29; trained
+    first by the out-of-manifold-intrusion study, experiments_timeseries
+    .ipynb cell 13).  Returns None when the method has no latent pairing."""
+    from pcgmix_tpu.augment.methods import parse_method
+    from pcgmix_tpu.latent import latent_pretrain_config
+
+    spec = parse_method(cfg.method, spectrogram=cfg.spectrogram)
+    if spec.pairing not in ("closestknn", "closestbins"):
+        return None
+    return latent_pretrain_config(cfg)
+
+
 def run_grid(
     base_cfg: TrainConfig,
     dataset: dict,
@@ -59,6 +73,9 @@ def run_grid(
     a previously trained checkpoint of the same configuration with the
     method swapped.  The runner trains that dependency first if its run
     directory is missing, then wires the saliency provider automatically.
+    (closestknn/closestbins) methods likewise depend on the canonical
+    frozen ResCNN latent-space run (latent_space.py:27-29), trained here
+    first when absent; train_model then auto-loads it.
     """
     executed = []
     for method in methods:
@@ -84,6 +101,15 @@ def run_grid(
                             print(f"skip (done): {experiment_dir(cfg)}")
                         continue
                     kwargs = {}
+                    lat_dep = _latent_dependency(cfg)
+                    if lat_dep is not None and not experiment_already_done(lat_dep):
+                        if progress:
+                            print(f"run (latent dependency): "
+                                  f"{experiment_dir(lat_dep)}")
+                        train_model(lat_dep, dataset, progress=progress)
+                        executed.append(lat_dep)
+                        # train_model auto-loads the frozen model from this
+                        # run dir (latent.latent_space_for) — no kwargs needed
                     dep = _salopt_dependency(cfg, robust)
                     if dep is not None:
                         if not experiment_already_done(dep):

@@ -24,6 +24,59 @@ import numpy as np
 from pcgmix_tpu import utils
 
 
+#: the canonical pretrained latent-space run the reference hardcodes
+#: (latent_space.py:27-29: 'PhysioNet_ResCNN_base_epochs=10_bs=32_nfrac=1.0
+#: _op=adam_sched=True_lrmax=0.00089_tbal=True_chs=4_gc=0.1_seed(data)=3
+#: _valid=False_seed=1'); the out-of-manifold-intrusion study trains it
+#: first (experiments_timeseries.ipynb cell 13).
+LATENT_PRETRAIN_OVERRIDES = dict(
+    model="ResCNN", method="base", num_epochs=10, batch_size=32,
+    lr_max=0.00089, n_fraction=1.0, seed_data=3, seed=1, op="adam",
+    valid=False,
+)
+
+
+def latent_pretrain_config(cfg):
+    """The frozen-embedding-model run config for ``cfg``'s environment:
+    the reference's hardcoded hyperparameters with environment fields
+    (experiments_root, sig_len, num_channels, loader_parity, ...)
+    inherited from ``cfg``."""
+    import copy
+
+    if cfg.spectrogram:
+        raise ValueError(
+            "closestknn/closestbins pairing is a 1-D surface; the reference "
+            "has no 2-D latent-space model (augmentations2d.py has no "
+            "closest* branches)"
+        )
+    dep = copy.deepcopy(cfg)
+    for k, v in LATENT_PRETRAIN_OVERRIDES.items():
+        setattr(dep, k, v)
+    dep.save_artifacts = True  # the checkpoint IS the artifact
+    return dep
+
+
+def latent_space_for(cfg) -> "LatentSpace":
+    """Load the canonical frozen latent model for ``cfg``'s experiments_root
+    (the auto-resolution behind closestknn/bins pairing).  Raises with a
+    pointer to the runner when the pretrained run doesn't exist."""
+    from pcgmix_tpu.exp.dirs import experiment_dir
+
+    dep = latent_pretrain_config(cfg)
+    path = os.path.join(experiment_dir(dep), "model.msgpack")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"(closestknn/closestbins) pairing needs the pretrained "
+            f"latent-space model at {path} (latent_space.py:27-29). Train it "
+            f"first (pcgmix-run resolves this dependency automatically), or "
+            f"pass latent_feature_fn to train_model explicitly."
+        )
+    return LatentSpace(
+        path, num_channels=cfg.num_channels, sig_len=cfg.sig_len,
+        num_classes=cfg.num_classes,
+    )
+
+
 class LatentSpace:
     """Frozen embedding model: ResCNN depth-5 features (B, 128)
     (latent_space.py:43-47)."""

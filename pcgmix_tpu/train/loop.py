@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import re
 import time
 from typing import Callable, Optional
 
@@ -99,6 +100,12 @@ class TrainConfig:
     eval_batch_size: int = 1000
     cvd_map: Optional[object] = None  # dict wav→diagnosis, or a cvds_map.csv
                                       # path (augmentations.py:26-28)
+    true_seed: Optional[int] = None  # override of the hardcoded train-balance
+                                     # sampling seed 18 (dataloader_physionet
+                                     # .py:82-84); the seed-sensitivity study
+                                     # names runs 'base-trueseed=N'
+                                     # (experiments_timeseries.ipynb cell 11)
+                                     # — None also derives N from that label
     n_devices: Optional[int] = None  # data-parallel devices; None = all
                                      # visible (the reference wraps every run
                                      # in nn.DataParallel, train_model.py:385)
@@ -120,16 +127,26 @@ def build_splits(cfg: TrainConfig, dataset: dict):
         spectrogram=cfg.spectrogram,
     )
     if cfg.dataset.startswith("PhysioNet"):
+        tbal_seed = cfg.true_seed
+        if tbal_seed is None and "trueseed=" in cfg.method:
+            # the notebook sets args.true_seed=N AND labels the run
+            # 'base-trueseed=N'; deriving N from the label keeps the run-dir
+            # contract and the sampling behavior in sync for CLI runs
+            m = re.search(r"trueseed=(\d+)", cfg.method)
+            if m:
+                tbal_seed = int(m.group(1))
+        if tbal_seed is None:
+            tbal_seed = 18  # dataloader_physionet.py:81 hardcoded
         train = physionet_split(
             dataset, "train", n_fraction=cfg.n_fraction,
-            train_balance=cfg.train_balance, **common,
+            train_balance=cfg.train_balance, tbal_seed=tbal_seed, **common,
         )
         # eval splits never carry the extra classical channel
         # (dataloader_physionet.py:246 passes classical_space=False)
         test = physionet_split(
             dataset, "valid" if cfg.valid else "test",
             n_fraction=cfg.n_fraction, train_balance=cfg.train_balance,
-            **{**common, "classical_space": False},
+            tbal_seed=tbal_seed, **{**common, "classical_space": False},
         )
     elif cfg.dataset.startswith("UMC"):
         common.pop("classical_space")
@@ -281,6 +298,14 @@ def train_model(
             pallas_interpret=cfg.pallas_interpret,
         )
     )
+    if engine.needs_latent_model and latent_feature_fn is None:
+        # auto-resolve the reference's canonical frozen latent model
+        # (latent_space.py:27-29); raises with a runner pointer if its run
+        # doesn't exist yet
+        from pcgmix_tpu.latent import latent_space_for
+
+        _lat = latent_space_for(cfg)
+        latent_feature_fn = _lat.generate
     selc_es = _selc_turnpoint(cfg)
     model_channels = cfg.num_channels if cfg.classical_space else None
     # Device-resident corpus: stage the whole training array in HBM once and

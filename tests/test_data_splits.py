@@ -32,6 +32,44 @@ def test_physionet_train_balance_and_quality(pn):
         assert n0 == n1, f"subset {letter}: {n0} vs {n1}"
 
 
+def test_physionet_true_seed(pn):
+    """The train-balance sampling seed is 18 unless overridden
+    (dataloader_physionet.py:81-84): a different true_seed draws a
+    different representative subset; TrainConfig wires it through both as
+    an explicit field and via the notebook's 'base-trueseed=N' run label
+    (experiments_timeseries.ipynb cell 11)."""
+    from pcgmix_tpu.train import TrainConfig
+    from pcgmix_tpu.train.loop import build_splits
+
+    import copy
+
+    base = physionet_split(pn, "train", train_balance=True)
+    same = physionet_split(pn, "train", train_balance=True, tbal_seed=18)
+    np.testing.assert_array_equal(base.wav, same.wav)
+
+    # on CLASS-BALANCED data sampling keeps every wav whatever the seed, so
+    # drop two label-1 wavs to force real subset selection
+    d = copy.deepcopy(pn)
+    tr = d["train"]
+    wavs1 = sorted({w for w, t in zip(tr["wav"], tr["label"]) if t == 1})
+    drops = {wavs1[0], wavs1[-1]}
+    keep = np.array([w not in drops for w in tr["wav"]])
+    for k in ("label", "frames", "wav", "sig_qual"):
+        tr[k] = np.asarray(tr[k])[keep]
+    tr["data"] = {b: np.asarray(v)[keep] for b, v in tr["data"].items()}
+    ref18 = set(physionet_split(d, "train", train_balance=True, tbal_seed=18).wav)
+    got21 = set(physionet_split(d, "train", train_balance=True, tbal_seed=21).wav)
+    assert ref18 != got21  # deterministic: random.Random(21) draws differently
+
+    cfg = TrainConfig(method="base-trueseed=19", loader_parity="numpy")
+    via_label, _ = build_splits(cfg, pn)
+    cfg2 = TrainConfig(method="base", true_seed=19, loader_parity="numpy")
+    via_field, _ = build_splits(cfg2, pn)
+    np.testing.assert_array_equal(via_label.wav, via_field.wav)
+    ref = physionet_split(pn, "train", train_balance=True, tbal_seed=19)
+    np.testing.assert_array_equal(via_label.wav, ref.wav)
+
+
 def test_physionet_nfraction_monotone(pn):
     full = physionet_split(pn, "train", n_fraction=1.0)
     half = physionet_split(pn, "train", n_fraction=0.5, seed_data=1010001)

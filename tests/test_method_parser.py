@@ -65,6 +65,26 @@ def test_dispatch_priority_2d(method, base):
     assert parse_method(method, spectrogram=True).base == base
 
 
+def test_notebook_concatenated_method_quirk():
+    """experiments_timeseries.ipynb cell 9's aug_methods list is missing a
+    comma, so 'respiratoryscale(12,20)' and 'durratiomixup' concatenate
+    into ONE string.  The reference's first-match dispatch
+    (augmentations.py:777 before :931) runs it as respiratoryscale — pin
+    the same priority here (see PARITY.md)."""
+    s = parse_method("respiratoryscale(12,20)durratiomixup")
+    assert s.base == "respiratoryscale"
+    # rates are stored in Hz (the reference divides breaths/min by 60,
+    # augmentations.py:792-793)
+    assert s.params == (12 / 60, 20 / 60)
+
+
+def test_trueseed_label_is_base():
+    """'base-trueseed=N' (experiments_timeseries.ipynb cell 11) is a run
+    LABEL: no augmentation branch matches, exactly like 'base'."""
+    s = parse_method("base-trueseed=19")
+    assert s.base is None and not s.selc
+
+
 def test_modifiers():
     s = parse_method("(sameCVD)(rand)durmixmagwarp(0.3,6)+0.6")
     assert s.base == "durmixmagwarp"

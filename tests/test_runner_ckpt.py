@@ -35,6 +35,34 @@ def test_run_grid_and_resume_skip(tmp_path):
     assert ran2 == []
 
 
+def test_latent_dependency_dag(tmp_path):
+    """(closestknn…) methods depend on the canonical frozen ResCNN run
+    (latent_space.py:27-29; experiments_timeseries.ipynb cell 13 trains it
+    first): the runner trains it when absent and train_model auto-loads
+    it; without it, train_model fails with a pointer."""
+    import copy
+
+    cfg = _base(tmp_path)
+    method = "(closestknn=2)durmixmagwarp(0.2,4)"
+    solo = copy.deepcopy(cfg)
+    solo.method = method
+    with pytest.raises(FileNotFoundError, match="latent-space model"):
+        train_model(solo, DS)
+
+    ran = run_grid(cfg, DS, [method], [1.0], [1], seed_datas=[1100001],
+                   robust=False, progress=False)
+    assert len(ran) == 2  # the ResCNN dependency, then the method run
+    dep, run = ran
+    assert dep.model == "ResCNN" and dep.method == "base"
+    assert dep.num_epochs == 10 and dep.batch_size == 32  # reference config
+    assert os.path.exists(os.path.join(experiment_dir(dep), "model.msgpack"))
+    assert os.path.exists(os.path.join(experiment_dir(run), "model.msgpack"))
+    # rerun: dependency and method run both resume-skip
+    ran2 = run_grid(cfg, DS, [method], [1.0], [1], seed_datas=[1100001],
+                    robust=False, progress=False)
+    assert ran2 == []
+
+
 def test_checkpoint_resume(tmp_path):
     from pcgmix_tpu.train.checkpoint import CheckpointManager
 
