@@ -178,6 +178,27 @@ def main(argv=None):
         help="epochs between orbax full-state checkpoints (0 = final only)",
     )
     p.add_argument("--eval-batch-size", type=int, default=1000)
+    p.add_argument(
+        "--sig-len", type=int, default=2500,
+        help="cycle length in samples (2500 PhysioNet / 2000 UMC, "
+             "experiments_timeseries.ipynb cells 7/22)",
+    )
+    p.add_argument(
+        "--classical-space", action="store_true",
+        help="dump per-epoch classical feature CSVs and add the wide band "
+             "as a 5th channel (experiments_timeseries.ipynb cell 26)",
+    )
+    p.add_argument(
+        "--latent-space", action="store_true",
+        help="dump latent-space pkls during training "
+             "(train_model.py:508-518)",
+    )
+    p.add_argument(
+        "--true-seed", type=int, default=None,
+        help="override the hardcoded train-balance sampling seed 18 "
+             "(dataloader_physionet.py:81-84); 'base-trueseed=N' method "
+             "labels also derive it",
+    )
     args = p.parse_args(argv)
 
     dataset = utils.file2dict(args.dataset_file)
@@ -197,6 +218,10 @@ def main(argv=None):
         n_devices=args.n_devices,
         checkpoint_every=args.checkpoint_every,
         eval_batch_size=args.eval_batch_size,
+        sig_len=args.sig_len,
+        classical_space=args.classical_space,
+        latent_space=args.latent_space,
+        true_seed=args.true_seed,
     )
     run_grid(
         base_cfg,
