@@ -11,6 +11,7 @@ from pcgmix_tpu.classical.experiment import (
     remove_segments_mean_envelope,
     aggregate_features_rolling,
     aggregate_features_single,
+    export_nfrac_wav_subsets,
     run_experiment,
 )
 
@@ -20,5 +21,6 @@ __all__ = [
     "remove_segments_mean_envelope",
     "aggregate_features_rolling",
     "aggregate_features_single",
+    "export_nfrac_wav_subsets",
     "run_experiment",
 ]

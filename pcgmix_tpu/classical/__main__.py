@@ -44,6 +44,15 @@ def main(argv=None) -> int:
                          "counter (classical.py:71)")
     ap.add_argument("--skip", type=int, nargs="*", default=(),
                     help="segment counters to skip (classical.py:87)")
+    ap.add_argument("--train-wavs", default=None,
+                    help="txt of train recordings to keep (an n_fraction "
+                         "subset file, classical.py:1424-1428)")
+    ap.add_argument("--export-subsets", nargs="*", type=float, default=None,
+                    metavar="NFRAC",
+                    help="instead of running the bench, write the "
+                         "per-(seed_data, n_fraction) train-wav subset "
+                         "files for these n_fractions into --out-dir "
+                         "(classical.ipynb cell 21) and exit")
     args = ap.parse_args(argv)
 
     import pandas as pd
@@ -56,6 +65,17 @@ def main(argv=None) -> int:
         remove_segments_mean_envelope,
         run_experiment,
     )
+
+    if args.export_subsets is not None:
+        from pcgmix_tpu.classical.experiment import export_nfrac_wav_subsets
+
+        dataset = utils.file2dict(args.dataset_file)
+        paths = export_nfrac_wav_subsets(
+            dataset, args.out_dir, args.export_subsets
+        )
+        print(f"wrote {len(paths)} subset files to {args.out_dir}",
+              file=sys.stderr)
+        return 0
 
     os.makedirs(args.out_dir, exist_ok=True)
     feats_path = os.path.join(args.out_dir, "features.csv")
@@ -118,7 +138,16 @@ def main(argv=None) -> int:
         agg = aggregate_features_single(feats)
     agg.to_csv(os.path.join(args.out_dir, "aggregated.csv"), index=False)
 
-    results = run_experiment(agg, kb_num=args.kb_num, seed=args.seed)
+    train_wavs = None
+    if args.train_wavs:
+        train_wavs = [
+            ln.strip() for ln in open(args.train_wavs) if ln.strip()
+        ]
+        print(f"n_fraction subset: {len(train_wavs)} train recordings",
+              file=sys.stderr)
+    results = run_experiment(
+        agg, kb_num=args.kb_num, seed=args.seed, train_wavs=train_wavs
+    )
     results.to_csv(os.path.join(args.out_dir, "results.csv"), index=False)
     print(results.to_string(index=False))
     return 0

@@ -20,6 +20,58 @@ import pandas as pd
 NON_FEATURES = ["class", "wav", "segment", "sig_qual", "split"]
 
 
+def export_nfrac_wav_subsets(
+    dataset: dict,
+    out_dir: str,
+    n_fractions: Sequence[float],
+    seed_datas_by_nfrac: Optional[dict] = None,
+    dataset_name: str = "PhysioNet",
+) -> list[str]:
+    """Write the per-(seed_data, n_fraction) train-wav subset files the
+    classical experiments consume (classical.ipynb cell 21; read back at
+    classical.py:1424-1428).  For each grid point, two files:
+
+      {dataset}_seed(data)={sd}_nfrac={nf}_valid=False.txt      (sorted wavs)
+      {dataset}_seed(data)={sd}_nfrac={nf}_valid=False_num-segs.txt
+
+    plus a {dataset}_test.txt with the held-out recordings.  Existing files
+    are skipped (the cell's resume behavior).  seed_datas_by_nfrac defaults
+    to the published grids (exp.robust.SEED_DATA_GRIDS).  Returns the paths
+    written."""
+    import os
+
+    from pcgmix_tpu.data import physionet_split
+
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    for nf in n_fractions:
+        if seed_datas_by_nfrac and nf in seed_datas_by_nfrac:
+            sds = seed_datas_by_nfrac[nf]
+        else:
+            from pcgmix_tpu.exp.robust import SEED_DATA_GRIDS
+
+            sds = SEED_DATA_GRIDS[nf][0] if nf in SEED_DATA_GRIDS else [1100001]
+        for sd in sds:
+            stem = f"{dataset_name}_seed(data)={sd}_nfrac={nf}_valid=False"
+            fn = os.path.join(out_dir, stem + ".txt")
+            fn2 = os.path.join(out_dir, stem + "_num-segs.txt")
+            if os.path.exists(fn) and os.path.exists(fn2):
+                continue
+            split = physionet_split(
+                dataset, "train", n_fraction=nf, seed_data=sd,
+                train_balance=True,
+            )
+            np.savetxt(fn, sorted(set(split.wav)), fmt="%s")
+            np.savetxt(fn2, [len(split)])
+            written += [fn, fn2]
+    test_fn = os.path.join(out_dir, f"{dataset_name}_test.txt")
+    if not os.path.exists(test_fn):
+        test = physionet_split(dataset, "test")
+        np.savetxt(test_fn, sorted(set(test.wav)), fmt="%s")
+        written.append(test_fn)
+    return written
+
+
 def remove_segments_mean_envelope(
     features: pd.DataFrame, std_factor: float = 1.4
 ) -> pd.DataFrame:

@@ -151,6 +151,63 @@ def test_cli_end_to_end(tmp_path):
     assert (pd.read_csv(out / "features.csv")["BPM"] == 0).all()
 
 
+def test_wav_subset_export_and_train_wavs(tmp_path):
+    """classical.ipynb cell 21: export the per-(seed_data, n_fraction)
+    train-wav subset files, then feed one back through --train-wavs so the
+    bench trains on exactly that subset (classical.py:1424-1428)."""
+    import numpy as np
+
+    from pcgmix_tpu import utils
+    from pcgmix_tpu.classical import export_nfrac_wav_subsets, run_experiment
+    from pcgmix_tpu.classical.__main__ import main
+    from pcgmix_tpu.data import physionet_split
+
+    ds = synthetic_physionet_dict(
+        num_wavs_train=12, num_wavs_test=4, segments_per_wav=2, sig_len=600,
+        seed=5,
+    )
+    out = tmp_path / "subsets"
+    paths = export_nfrac_wav_subsets(
+        ds, str(out), [0.5], seed_datas_by_nfrac={0.5: [7, 8]}
+    )
+    assert len(paths) == 5  # 2 grid points x 2 files + the test list
+    fn = out / "PhysioNet_seed(data)=7_nfrac=0.5_valid=False.txt"
+    wavs = [ln.strip() for ln in open(fn)]
+    split = physionet_split(ds, "train", n_fraction=0.5, seed_data=7)
+    assert wavs == sorted(set(split.wav))
+    n_segs = int(np.loadtxt(out / "PhysioNet_seed(data)=7_nfrac=0.5_valid=False_num-segs.txt"))
+    assert n_segs == len(split)
+    # idempotent: a second export writes nothing new
+    assert export_nfrac_wav_subsets(
+        ds, str(out), [0.5], seed_datas_by_nfrac={0.5: [7, 8]}
+    ) == []
+
+    # --export-subsets CLI mode
+    dat = tmp_path / "d.dat"
+    utils.dict2file(ds, str(dat))
+    out2 = tmp_path / "subsets_cli"
+    assert main(["--dataset-file", str(dat), "--out-dir", str(out2),
+                 "--export-subsets", "1.0"]) == 0
+    assert (out2 / "PhysioNet_seed(data)=1100001_nfrac=1.0_valid=False.txt").exists()
+
+    # train_wavs restricts the bench's train rows to the subset
+    feats = pd.DataFrame({
+        "class": [0, 1] * 8,
+        "wav": [f"a{i:02d}" for i in range(8) for _ in (0, 1)],
+        "segment": [999] * 16,
+        "sig_qual": [1] * 16,
+        "split": ["train"] * 12 + ["test"] * 4,
+        "m_f1": np.linspace(0, 1, 16),
+        "sd_f1": np.linspace(1, 0, 16),
+    })
+    res_all = run_experiment(feats, kb_num=2, majority_vote_prediction=False)
+    res_sub = run_experiment(
+        feats, kb_num=2, majority_vote_prediction=False,
+        train_wavs=["a00", "a01", "a02"],
+    )
+    assert len(res_all) == len(res_sub)  # same classifier zoo, fewer rows
+
+
 def test_cli_partial_checkpoint_requires_explicit_resume(tmp_path):
     """A crashed extraction's features.partial.csv must not be silently
     benchmarked; the CLI demands --start-counter (or deletion)."""
