@@ -11,11 +11,15 @@ from pcgmix_tpu.classical.experiment import (
     remove_segments_mean_envelope,
     aggregate_features_rolling,
     aggregate_features_single,
+    collect_augmentation_features,
     export_nfrac_wav_subsets,
+    merge_augmentation_features,
     run_experiment,
 )
 
 __all__ = [
+    "collect_augmentation_features",
+    "merge_augmentation_features",
     "feature_vector_seg",
     "extract_features",
     "remove_segments_mean_envelope",

@@ -72,6 +72,79 @@ def export_nfrac_wav_subsets(
     return written
 
 
+def collect_augmentation_features(run_dir: str) -> pd.DataFrame:
+    """Concatenate a run's per-step classical_space/train_{i}.csv dumps in
+    step order into one table (classical.ipynb cell 27)."""
+    import glob
+    import os
+
+    cs = os.path.join(run_dir, "classical_space")
+    number = len(glob.glob(os.path.join(cs, "*")))
+    frames = [
+        pd.read_csv(os.path.join(cs, f"train_{i}.csv")) for i in range(number)
+    ]
+    return (
+        pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+    )
+
+
+def merge_augmentation_features(
+    run_dir: str,
+    base_features: pd.DataFrame,
+    out_dir: str,
+    tag: str,
+    steps_per_epoch: int = 2,
+    band_suffix: str = "filtBandIIR(ZP)4-25-400_normRMS",
+    swap_base_labels: bool = True,
+) -> list[str]:
+    """Fold a run's augmented-instance feature dumps into a base feature
+    table, writing one cumulative snapshot per epoch (classical.ipynb cell
+    25).  Munging per batch, matching the cell: drop sig_qual/split, rename
+    wav → recording with the band-filename suffix, derive recordingName /
+    patientID, segment=999; the base table gets the UMC label swap
+    (``class`` 0↔1, as the loader applies it) and rows sort by
+    (recording, segment).  ``steps_per_epoch`` generalizes the cell's
+    hardcoded ``i%2==1`` (batch_size=512 → two batches per epoch).
+    Returns the snapshot paths (part=0 is the base alone)."""
+    import glob
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    base = base_features.copy()
+    if swap_base_labels:
+        base["class"] = base["class"].replace({0: 1, 1: 0})
+    base.sort_values(by=["recording", "segment"], inplace=True)
+    fts = base
+    written = []
+    fn = os.path.join(out_dir, f"UMC_augmentation_fts_{tag}_part=0.csv")
+    fts.to_csv(fn, index=False)
+    written.append(fn)
+    cs = os.path.join(run_dir, "classical_space")
+    number = len(glob.glob(os.path.join(cs, "*")))
+    for i in range(number):
+        batch = pd.read_csv(os.path.join(cs, f"train_{i}.csv"))
+        batch = batch.drop(columns=["sig_qual", "split"])
+        batch = batch.rename(columns={"wav": "recording"})
+        batch["recording"] = batch["recording"].apply(
+            lambda x: f"{x}_{band_suffix}"
+        )
+        batch["recordingName"] = batch["recording"].apply(lambda x: f"{x}.wav")
+        batch["patientID"] = batch["recording"].apply(
+            lambda x: f"ID_{x.split('_')[0]}"
+        )
+        batch["segment"] = 999
+        fts = pd.concat([fts, batch], ignore_index=True)
+        fts.sort_values(by=["recording", "segment"], inplace=True)
+        if i % steps_per_epoch == steps_per_epoch - 1:
+            part = (i + 1) // steps_per_epoch
+            fn = os.path.join(
+                out_dir, f"UMC_augmentation_fts_{tag}_part={part}.csv"
+            )
+            fts.to_csv(fn, index=False)
+            written.append(fn)
+    return written
+
+
 def remove_segments_mean_envelope(
     features: pd.DataFrame, std_factor: float = 1.4
 ) -> pd.DataFrame:

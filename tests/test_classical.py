@@ -208,6 +208,55 @@ def test_wav_subset_export_and_train_wavs(tmp_path):
     assert len(res_all) == len(res_sub)  # same classifier zoo, fewer rows
 
 
+def test_augmentation_feature_collectors(tmp_path):
+    """classical.ipynb cells 25/27: concatenate a run's classical_space
+    dumps (cell 27) and fold them into a base feature table with the cell's
+    exact munging — label-swapped base, wav→recording with band suffix,
+    recordingName/patientID, segment=999, one cumulative snapshot per
+    epoch (cell 25)."""
+    import numpy as np
+
+    from pcgmix_tpu.classical import (
+        collect_augmentation_features,
+        merge_augmentation_features,
+    )
+
+    cs = tmp_path / "classical_space"
+    cs.mkdir()
+    for i in range(4):
+        pd.DataFrame({
+            "class": [0, 1], "wav": [f"r{i}a", f"r{i}b"], "segment": [0, 1],
+            "sig_qual": [1, 1], "split": ["train"] * 2,
+            "m_f1": [0.1 * i, 0.2 * i],
+        }).to_csv(cs / f"train_{i}.csv", index=False)
+
+    allf = collect_augmentation_features(str(tmp_path))
+    assert len(allf) == 8 and "sig_qual" in allf.columns  # cell 27: raw concat
+
+    base = pd.DataFrame({
+        "class": [0, 1],
+        "recording": ["x_filtBandIIR(ZP)4-25-400_normRMS"] * 2,
+        "segment": [0, 1], "m_f1": [0.5, 0.6],
+    })
+    out = tmp_path / "merged"
+    paths = merge_augmentation_features(
+        str(tmp_path), base, str(out), "durratiomixup+1.0_seed_data=1"
+    )
+    # part=0 is the base alone; 4 batches at 2 steps/epoch -> parts 1, 2
+    assert [p.rsplit("part=", 1)[1] for p in paths] == ["0.csv", "1.csv", "2.csv"]
+    part0 = pd.read_csv(paths[0])
+    assert list(part0["class"]) == [1, 0]  # UMC label swap on the base
+    last = pd.read_csv(paths[-1])
+    assert (last["segment"] == 999).sum() == 8
+    assert "sig_qual" not in last.columns and "split" not in last.columns
+    aug_rows = last[last["segment"] == 999]
+    assert aug_rows["recording"].str.endswith("_filtBandIIR(ZP)4-25-400_normRMS").all()
+    assert (aug_rows["recordingName"] == aug_rows["recording"] + ".wav").all()
+    assert aug_rows["patientID"].str.startswith("ID_").all()
+    # the original base df is untouched (copy semantics)
+    assert list(base["class"]) == [0, 1]
+
+
 def test_cli_partial_checkpoint_requires_explicit_resume(tmp_path):
     """A crashed extraction's features.partial.csv must not be silently
     benchmarked; the CLI demands --start-counter (or deletion)."""
