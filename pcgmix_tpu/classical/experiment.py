@@ -79,7 +79,7 @@ def collect_augmentation_features(run_dir: str) -> pd.DataFrame:
     import os
 
     cs = os.path.join(run_dir, "classical_space")
-    number = len(glob.glob(os.path.join(cs, "*")))
+    number = len(glob.glob(os.path.join(cs, "train_*.csv")))
     frames = [
         pd.read_csv(os.path.join(cs, f"train_{i}.csv")) for i in range(number)
     ]
@@ -120,7 +120,7 @@ def merge_augmentation_features(
     fts.to_csv(fn, index=False)
     written.append(fn)
     cs = os.path.join(run_dir, "classical_space")
-    number = len(glob.glob(os.path.join(cs, "*")))
+    number = len(glob.glob(os.path.join(cs, "train_*.csv")))
     for i in range(number):
         batch = pd.read_csv(os.path.join(cs, f"train_{i}.csv"))
         batch = batch.drop(columns=["sig_qual", "split"])

@@ -495,16 +495,30 @@ def main(argv=None):
                 "label": int(row["label"]),
                 "sig_qual": int(row.get("sig_qual", 1)),
             }
-    stats = {
-        "physionet": PHYSIONET_PC_STATS, "umc": UMC_PC_STATS, "none": None
-    }[args.normalize]
     if args.kind == "1d":
+        stats = {
+            "physionet": PHYSIONET_PC_STATS, "umc": UMC_PC_STATS, "none": None
+        }[args.normalize]
         out = build_1d_dataset(recs, sr_in=args.sr_in, normalize_stats=stats)
     elif args.kind == "full":
+        stats = {
+            "physionet": PHYSIONET_PC_STATS, "umc": UMC_PC_STATS, "none": None
+        }[args.normalize]
         out = build_full_dataset(recs, sr_in=args.sr_in, normalize_stats=stats)
     else:
+        from pcgmix_tpu.data.corpus import PHYSIONET_SPEC_STATS, UMC_SPEC_STATS
+
         size = 128 if args.kind == "spec128" else 64
-        out = build_spectrogram_dataset(recs, sr_in=args.sr_in, size=size)
+        spec_stats = {
+            # the reference's hardcoded global train stats for each build
+            # (databuilder.ipynb cells 5-6 / cell 3)
+            "physionet": PHYSIONET_SPEC_STATS,
+            "umc": UMC_SPEC_STATS[size],
+            "none": None,
+        }[args.normalize]
+        out = build_spectrogram_dataset(
+            recs, sr_in=args.sr_in, size=size, normalize=spec_stats
+        )
     utils.dict2file(out, args.out)
     print(f"wrote {args.out}: {len(out['label'])} cycles")
 

@@ -30,7 +30,7 @@ def _salopt_dependency(cfg: TrainConfig, robust: bool) -> TrainConfig | None:
     from pcgmix_tpu.augment.methods import parse_method
     from pcgmix_tpu.saliency import SALOPT_PRETRAIN_METHODS
 
-    spec = parse_method(cfg.method)
+    spec = parse_method(cfg.method, spectrogram=cfg.spectrogram)
     if spec.salopt is None:
         return None
     dep = copy.deepcopy(cfg)

@@ -37,11 +37,15 @@ LATENT_PRETRAIN_OVERRIDES = dict(
 
 
 def latent_pretrain_config(cfg):
-    """The frozen-embedding-model run config for ``cfg``'s environment:
-    the reference's hardcoded hyperparameters with environment fields
-    (experiments_root, sig_len, num_channels, loader_parity, ...)
-    inherited from ``cfg``."""
-    import copy
+    """The frozen-embedding-model run config for ``cfg``'s environment.
+
+    Built FRESH from defaults so the run is genuinely canonical: only
+    environment/performance fields are inherited from ``cfg`` — run-variant
+    fields that are not encoded in the run-dir name (torch_init, true_seed,
+    classical_space, latent_space, ...) must stay at their defaults, or a
+    variant run would train a non-canonical checkpoint under the canonical
+    directory name."""
+    from pcgmix_tpu.train.loop import TrainConfig
 
     if cfg.spectrogram:
         raise ValueError(
@@ -49,11 +53,26 @@ def latent_pretrain_config(cfg):
             "has no 2-D latent-space model (augmentations2d.py has no "
             "closest* branches)"
         )
-    dep = copy.deepcopy(cfg)
-    for k, v in LATENT_PRETRAIN_OVERRIDES.items():
-        setattr(dep, k, v)
-    dep.save_artifacts = True  # the checkpoint IS the artifact
-    return dep
+    return TrainConfig(
+        # environment / performance fields (semantics-neutral)
+        dataset=cfg.dataset,
+        sig_len=cfg.sig_len,
+        num_channels=cfg.num_channels,
+        num_classes=cfg.num_classes,
+        sample_rate=cfg.sample_rate,
+        experiments_root=cfg.experiments_root,
+        loader_parity=cfg.loader_parity,
+        compute_dtype=cfg.compute_dtype,
+        steps_per_dispatch=cfg.steps_per_dispatch,
+        n_devices=cfg.n_devices,
+        use_pallas=cfg.use_pallas,
+        pallas_interpret=cfg.pallas_interpret,
+        eval_batch_size=cfg.eval_batch_size,
+        save_artifacts=True,  # the checkpoint IS the artifact
+        plot=cfg.plot,
+        # the canonical hyperparameters (latent_space.py:27-29)
+        **LATENT_PRETRAIN_OVERRIDES,
+    )
 
 
 def latent_space_for(cfg) -> "LatentSpace":
@@ -291,8 +310,9 @@ def plot_latent_space_test(
     dim_reduc: str = "tsne",
 ) -> str:
     """Test-set-only variant (latent_space.py:197-240): one cloud, no
-    augmented points — the reference draws only the original features
-    regardless of method.  Returns the written png path."""
+    augmented points.  ``method`` is accepted and IGNORED — the reference's
+    own signature takes it and never reads it (latent_space.py:197), so it
+    is kept purely for signature parity.  Returns the written png path."""
     feats = {
         "fts": np.asarray(latent_features["fts"]),
         "trgts": np.asarray(

@@ -230,6 +230,8 @@ def test_augmentation_feature_collectors(tmp_path):
             "m_f1": [0.1 * i, 0.2 * i],
         }).to_csv(cs / f"train_{i}.csv", index=False)
 
+    # a stray file in the dump dir must not break the contiguous-index scan
+    (cs / "notes.txt").write_text("junk")
     allf = collect_augmentation_features(str(tmp_path))
     assert len(allf) == 8 and "sig_qual" in allf.columns  # cell 27: raw concat
 

@@ -463,6 +463,41 @@ def test_generic_mode_reads_wavs_and_normalizes(tmp_path):
     )
 
 
+def test_generic_mode_spec_normalize_applied(tmp_path):
+    """Generic spec128/spec64 builds must actually APPLY --normalize (the
+    reference's hardcoded global train stats, databuilder.ipynb cells 5-6),
+    not demand the flag and silently ignore it."""
+    from pcgmix_tpu.data.corpus import PHYSIONET_SPEC_STATS
+
+    wav_dir = tmp_path / "wavs"; wav_dir.mkdir()
+    ann_dir = tmp_path / "ann"; ann_dir.mkdir()
+    rows = ["wav,label,sig_qual"]
+    for r in range(2):
+        name = f"a{r:04d}"
+        n = SR_PHYS * 6
+        y = _cycle_signal(n, r % 2, SR_PHYS, seed=10 + r)
+        _write_wav(str(wav_dir / f"{name}.wav"), y, SR_PHYS)
+        frames, states = _annotation_stream(n)
+        _write_stateans(
+            str(ann_dir / f"{name}_StateAns.mat"), frames, states, "state_ans"
+        )
+        rows.append(f"{name},{r % 2},1")
+    csv_path = tmp_path / "labels.csv"
+    csv_path.write_text("\n".join(rows) + "\n")
+    common = ["--wav-dir", str(wav_dir), "--ann-dir", str(ann_dir),
+              "--labels-csv", str(csv_path), "--kind", "spec128"]
+    out_n = str(tmp_path / "spec_norm.dat")
+    out_r = str(tmp_path / "spec_raw.dat")
+    builder.main(common + ["--out", out_n, "--normalize", "physionet"])
+    builder.main(common + ["--out", out_r, "--normalize", "none"])
+    dn, dr = file2dict(out_n), file2dict(out_r)
+    assert len(dn["label"]) > 0 and dn["data"].shape[1:] == (128, 128)
+    mu, sd = PHYSIONET_SPEC_STATS
+    np.testing.assert_allclose(
+        dn["data"], (dr["data"] - mu) / sd, rtol=1e-4, atol=1e-5
+    )
+
+
 def test_physionet_spec_corpus_trains_2d(physionet_root, tmp_path):
     """The spec128 corpus .dat drives the 2-D training path unchanged
     (ResNet9-2D, durratiomixup on spectrogram columns)."""

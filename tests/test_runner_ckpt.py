@@ -63,6 +63,38 @@ def test_latent_dependency_dag(tmp_path):
     assert ran2 == []
 
 
+def test_latent_pretrain_config_is_canonical(tmp_path):
+    """latent_pretrain_config builds the dependency FRESH: run-variant
+    fields not encoded in the run-dir name (torch_init, true_seed,
+    classical_space, ...) must not leak into the canonical frozen run."""
+    from pcgmix_tpu.latent import latent_pretrain_config
+
+    cfg = _base(tmp_path)
+    cfg.torch_init = True
+    cfg.true_seed = 21
+    cfg.classical_space = True
+    cfg.latent_space = True
+    dep = latent_pretrain_config(cfg)
+    assert dep.model == "ResCNN" and dep.method == "base"
+    assert not dep.torch_init and dep.true_seed is None
+    assert not dep.classical_space and not dep.latent_space
+    assert dep.experiments_root == cfg.experiments_root  # env inherited
+    assert dep.sig_len == cfg.sig_len
+
+
+def test_salopt_dependency_2d():
+    """_salopt_dependency must parse with the 2-D ladder for spectrogram
+    configs, or 2-D salopt methods lose their DAG edge."""
+    from pcgmix_tpu.exp.runner import _salopt_dependency
+
+    cfg = TrainConfig(
+        dataset="PhysioNet(spec128)", model="resnet9", num_channels=1,
+        method="(saloptsum)durratiomixup",
+    )
+    dep = _salopt_dependency(cfg, robust=False)
+    assert dep is not None and dep.method == "base"
+
+
 def test_checkpoint_resume(tmp_path):
     from pcgmix_tpu.train.checkpoint import CheckpointManager
 
