@@ -798,3 +798,16 @@ def load_checkpoint(path: str, model, sample_shape) -> dict:
     }
     with open(path, "rb") as f:
         return serialization.from_bytes(template, f.read())
+
+
+def load_checkpoint_raw(path: str) -> dict:
+    """Restore {'params', 'batch_stats'} WITHOUT a template init
+    (flax msgpack_restore): the stored arrays carry their own shapes, so no
+    sample input — and no wasted init at a possibly-wrong input size — is
+    needed.  Use when the consuming code only applies the model."""
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        restored = serialization.msgpack_restore(f.read())
+    restored.setdefault("batch_stats", {})
+    return restored

@@ -95,6 +95,27 @@ def test_salopt_dependency_2d():
     assert dep is not None and dep.method == "base"
 
 
+def test_salopt_2d_runner_e2e(tmp_path):
+    """The full 2-D salopt DAG through run_grid: the base dependency trains
+    first, then the (saloptenv) run restores it template-free (the stored
+    arrays carry their shapes; cfg.sig_len is the 1-D cycle length, not the
+    mel size) and trains end-to-end."""
+    from pcgmix_tpu.data.synthetic import synthetic_spectrogram_dict
+
+    ds = synthetic_spectrogram_dict(num_wavs_train=12, num_wavs_test=4, size=32)
+    cfg = TrainConfig(
+        dataset="PhysioNet(spec128)", model="resnet9", num_epochs=1,
+        batch_size=8, experiments_root=str(tmp_path), loader_parity="numpy",
+        plot=False,
+    )
+    ran = run_grid(cfg, ds, ["(saloptenv)durratiomixup"], [1.0], [1],
+                   seed_datas=[1100001], robust=False, progress=False)
+    assert len(ran) == 2  # base dependency + the salopt run
+    assert ran[0].method == "base"
+    for r in ran:
+        assert os.path.exists(os.path.join(experiment_dir(r), "model.msgpack"))
+
+
 def test_checkpoint_resume(tmp_path):
     from pcgmix_tpu.train.checkpoint import CheckpointManager
 
