@@ -157,16 +157,39 @@ def main(argv=None):
     ap.add_argument("--no-robust", action="store_true",
                     help="read dirs produced by pcgmix-run --no-robust "
                          "(no '+cp' method rewrite)")
+    ap.add_argument("--paper", action="store_true",
+                    help="emit the melted paper table instead: acc ± sd and "
+                         "relative improvement over the FIRST method "
+                         "(results_final_full.ipynb cells 4/17)")
+    ap.add_argument("--models", nargs="+", default=None,
+                    help="with --paper: one table column group per model "
+                         "(default: just --model)")
+    ap.add_argument("--method-labels", nargs="+", default=None,
+                    help="with --paper: display names per method "
+                         "(e.g. Vanilla PCGmix PCGmix+)")
     args = ap.parse_args(argv)
 
-    cfg = TrainConfig(
-        dataset=args.dataset, model=args.model, num_epochs=args.num_epochs,
-        batch_size=args.batch_size, lr_max=args.lr_max, op=args.op,
-        num_channels=args.num_channels, valid=args.valid,
-        experiments_root=args.experiments_root,
-    )
-    table = results_table(cfg, args.methods, args.n_fractions, args.metric,
-                          robust=not args.no_robust)
+    def cfg_for(model):
+        return TrainConfig(
+            dataset=args.dataset, model=model, num_epochs=args.num_epochs,
+            batch_size=args.batch_size, lr_max=args.lr_max, op=args.op,
+            num_channels=args.num_channels, valid=args.valid,
+            experiments_root=args.experiments_root,
+        )
+
+    if args.paper:
+        from pcgmix_tpu.exp.paper import paper_table
+
+        models = args.models or [args.model]
+        table = paper_table(
+            {m: cfg_for(m) for m in models}, args.methods, args.n_fractions,
+            args.metric, robust=not args.no_robust,
+            method_labels=args.method_labels,
+        )
+    else:
+        table = results_table(cfg_for(args.model), args.methods,
+                              args.n_fractions, args.metric,
+                              robust=not args.no_robust)
     print(table.to_string(index=False))
     return 0
 

@@ -242,6 +242,35 @@ def test_results_cli_nonpublished_nfrac_and_no_robust(tmp_path, capsys):
     assert "±" in out and "—" not in out.split("\n")[1]
 
 
+def test_results_cli_paper_mode(tmp_path, capsys):
+    """--paper emits the melted published table (acc ± sd plus relative
+    improvement over the first method; results_final_full.ipynb cells
+    4/17) with per-method display labels."""
+    from pcgmix_tpu import utils
+    from pcgmix_tpu.exp.results import main as res_main
+    from pcgmix_tpu.exp.runner import main as run_main
+
+    dat = tmp_path / "p.dat"
+    utils.dict2file(DS, str(dat))
+    run_main([
+        "--dataset-file", str(dat), "--methods", "base", "durratiomixup",
+        "--n-fractions", "1.0", "--seeds", "1", "2", "--model", "resnet9-5k",
+        "--num-epochs", "1", "--batch-size", "8", "--no-robust",
+        "--experiments-root", str(tmp_path / "exp"),
+    ])
+    res_main([
+        "--experiments-root", str(tmp_path / "exp"), "--model", "resnet9-5k",
+        "--methods", "base", "durratiomixup", "--n-fractions", "1.0",
+        "--num-epochs", "1", "--batch-size", "8", "--no-robust", "--paper",
+        "--method-labels", "Vanilla", "PCGmix",
+    ])
+    out = capsys.readouterr().out
+    assert "Vanilla" in out and "PCGmix" in out
+    assert "resnet9-5k acc" in out and "resnet9-5k ri" in out
+    # the vanilla row's relative improvement over itself is 0.00
+    assert "0.00 ±" in out
+
+
 def test_run_grid_salopt_dag(tmp_path):
     """(salopt…) grid points train their pretrained dependency first and
     wire the saliency provider automatically (SURVEY.md §7 hard parts:
