@@ -104,6 +104,44 @@ def method_grid(
     return mean, std
 
 
+def export_all_seeds_csvs(
+    cfg,
+    methods: Sequence[str],
+    n_fractions: Sequence[float],
+    metric: str = "Accuracy",
+    out_dir: str = ".",
+    robust: bool = True,
+    method_labels: Sequence[str] | None = None,
+) -> list[str]:
+    """Write the ``{dataset}_{model}_all_seeds_{metric}-{mean,std}.csv``
+    artifacts that results_final_full.ipynb cells 4/17 read (columns
+    ``Method, <str(n_frac)>, ...``; Method holds the display labels the
+    notebook indexes by, e.g. ``custom_order``).  The reference repo ships
+    no producer for these files — the authors assembled them by hand from
+    read_experiments output; this generates them straight from finished run
+    dirs so the unmodified reference notebook can be fed from this
+    framework's experiments.  Returns the two paths (mean first)."""
+    import os
+
+    import pandas as pd
+
+    labels = list(method_labels) if method_labels is not None else list(methods)
+    if len(labels) != len(methods):
+        raise ValueError("method_labels must align 1:1 with methods")
+    os.makedirs(out_dir, exist_ok=True)
+    mean, std = method_grid(cfg, methods, n_fractions, metric, robust)
+    cols = [str(x) for x in n_fractions]
+    paths = []
+    for arr, kind in ((mean, "mean"), (std, "std")):
+        df = pd.DataFrame(arr, columns=cols)
+        df.insert(0, "Method", labels)
+        path = os.path.join(
+            out_dir, f"{cfg.dataset}_{cfg.model}_all_seeds_{metric}-{kind}.csv")
+        df.to_csv(path, index=False)
+        paths.append(path)
+    return paths
+
+
 def _pm(m: float, s: float) -> str:
     # the notebook replaces 'nan \pm nan' cells with '-'
     if math.isnan(m) or math.isnan(s):

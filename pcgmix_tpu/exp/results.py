@@ -165,8 +165,13 @@ def main(argv=None):
                     help="with --paper: one table column group per model "
                          "(default: just --model)")
     ap.add_argument("--method-labels", nargs="+", default=None,
-                    help="with --paper: display names per method "
-                         "(e.g. Vanilla PCGmix PCGmix+)")
+                    help="with --paper/--export-csv: display names per "
+                         "method (e.g. Vanilla PCGmix PCGmix+)")
+    ap.add_argument("--export-csv", metavar="DIR", default=None,
+                    help="also write the notebook-input "
+                         "{dataset}_{model}_all_seeds_{metric}-{mean,std}"
+                         ".csv grids to DIR (the files "
+                         "results_final_full.ipynb cells 4/17 read)")
     args = ap.parse_args(argv)
 
     def cfg_for(model):
@@ -191,6 +196,16 @@ def main(argv=None):
                               args.n_fractions, args.metric,
                               robust=not args.no_robust)
     print(table.to_string(index=False))
+    if args.export_csv:
+        from pcgmix_tpu.exp.paper import export_all_seeds_csvs
+
+        for m in (args.models or [args.model]):
+            for p in export_all_seeds_csvs(
+                cfg_for(m), args.methods, args.n_fractions, args.metric,
+                out_dir=args.export_csv, robust=not args.no_robust,
+                method_labels=args.method_labels,
+            ):
+                print(f"wrote {p}")
     return 0
 
 

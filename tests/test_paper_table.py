@@ -105,3 +105,53 @@ def test_paper_table_from_run_dirs(tmp_path):
     assert pcg["resnet adsi"] == "1.23"
     # the unpopulated 0.1 column renders '-'
     assert set(df.iloc[2][["resnet acc", "resnet ri", "resnet adsi"]]) == {"-"}
+
+
+def test_export_all_seeds_csvs_roundtrip(tmp_path):
+    """The exported {dataset}_{model}_all_seeds_{metric}-{mean,std}.csv
+    grids load through the reference notebook's EXACT read pattern
+    (results_final_full.ipynb cell 4: read_csv →
+    set_index('Method').loc[custom_order] → columns indexed by str(n_frac))
+    and feed its relative_improv_over_vanilla unchanged."""
+    import copy
+
+    import pandas as pd
+
+    from pcgmix_tpu.exp.paper import export_all_seeds_csvs
+
+    template = TrainConfig(
+        model="resnet9-5k", method="base", num_epochs=2, batch_size=8,
+        sig_len=512, experiments_root=str(tmp_path), loader_parity="numpy",
+    )
+    accs = {"base": (90.0, 92.0), "durratiomixup": (93.0, 95.0)}
+    for method, vals in accs.items():
+        for seed, acc in zip((1, 2), vals):
+            run = copy.deepcopy(template)
+            run.method, run.seed, run.seed_data = method, seed, 1100001
+            run.n_fraction = 1.0
+            _fabricate_run(run, acc)
+
+    out = tmp_path / "csvs"
+    out.mkdir()
+    paths = export_all_seeds_csvs(
+        template, ["base", "durratiomixup"], [1.0, 0.1],
+        out_dir=str(out), robust=False, method_labels=["Vanilla", "PCGmix"],
+    )
+    assert [os.path.basename(p) for p in paths] == [
+        "PhysioNet_resnet9-5k_all_seeds_Accuracy-mean.csv",
+        "PhysioNet_resnet9-5k_all_seeds_Accuracy-std.csv",
+    ]
+    # --- the notebook's cell-4 consumption, verbatim semantics ---
+    custom_order = ["Vanilla", "PCGmix"]
+    acc_mean = pd.read_csv(paths[0])
+    acc_mean = acc_mean.set_index("Method").loc[custom_order].reset_index()
+    acc_std = pd.read_csv(paths[1])
+    acc_std = acc_std.set_index("Method").loc[custom_order].reset_index()
+    n_fracs = [str(x) for x in [1.0, 0.1]]
+    assert acc_mean.loc[0, "1.0"] == pytest.approx(91.0)
+    assert acc_mean.loc[1, "1.0"] == pytest.approx(94.0)
+    assert acc_std.loc[1, "1.0"] == pytest.approx(1.0)
+    assert math.isnan(acc_mean.loc[0, "0.1"])  # no runs -> NaN cell
+    # cell-4 relative improvement over the vanilla row works off the frames
+    a, b = acc_mean.loc[1, "1.0"], acc_mean.loc[0, "1.0"]
+    assert round((a / b - 1) * 100, 2) == pytest.approx(3.3)
