@@ -112,6 +112,7 @@ def export_all_seeds_csvs(
     out_dir: str = ".",
     robust: bool = True,
     method_labels: Sequence[str] | None = None,
+    grid: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> list[str]:
     """Write the ``{dataset}_{model}_all_seeds_{metric}-{mean,std}.csv``
     artifacts that results_final_full.ipynb cells 4/17 read (columns
@@ -120,7 +121,11 @@ def export_all_seeds_csvs(
     no producer for these files — the authors assembled them by hand from
     read_experiments output; this generates them straight from finished run
     dirs so the unmodified reference notebook can be fed from this
-    framework's experiments.  Returns the two paths (mean first)."""
+    framework's experiments.  Returns the two paths (mean first).
+
+    ``grid``: optional precomputed ``method_grid`` result (mean, std) —
+    pass it when the caller already aggregated the same run dirs (e.g.
+    for a paper_table) to avoid re-reading every performance.pkl."""
     import os
 
     import pandas as pd
@@ -129,7 +134,8 @@ def export_all_seeds_csvs(
     if len(labels) != len(methods):
         raise ValueError("method_labels must align 1:1 with methods")
     os.makedirs(out_dir, exist_ok=True)
-    mean, std = method_grid(cfg, methods, n_fractions, metric, robust)
+    mean, std = grid if grid is not None else method_grid(
+        cfg, methods, n_fractions, metric, robust)
     cols = [str(x) for x in n_fractions]
     paths = []
     for arr, kind in ((mean, "mean"), (std, "std")):
@@ -157,6 +163,7 @@ def paper_table(
     robust: bool = True,
     method_labels: Sequence[str] | None = None,
     adsi_by_model: Mapping[str, np.ndarray] | None = None,
+    grids_by_model: Mapping[str, tuple] | None = None,
 ):
     """Assemble the published headline table (results_final_full.ipynb
     cells 4/17) straight from finished run dirs.
@@ -167,7 +174,9 @@ def paper_table(
     ``method_labels`` gives display names per method string (default: the
     strings themselves); ``PAPER_METHOD_RENAMES`` is applied on top.
     ``adsi_by_model`` optionally supplies the externally produced ADSI grids
-    ((n_methods, n_fractions), same row/column order).
+    ((n_methods, n_fractions), same row/column order).  ``grids_by_model``
+    optionally supplies precomputed ``method_grid`` (mean, std) tuples per
+    model so the run dirs are read once across table + CSV export.
 
     Returns a pandas DataFrame melted in the notebook's order (n_fraction
     outer, method inner) with columns
@@ -180,7 +189,10 @@ def paper_table(
         raise ValueError("method_labels must align 1:1 with methods")
     per_model = {}
     for model, cfg in cfg_by_model.items():
-        mean, std = method_grid(cfg, methods, n_fractions, metric, robust)
+        if grids_by_model is not None and model in grids_by_model:
+            mean, std = grids_by_model[model]
+        else:
+            mean, std = method_grid(cfg, methods, n_fractions, metric, robust)
         ri_m, ri_s = relative_improvement_over_vanilla(mean, std)
         per_model[model] = (mean, std, ri_m, ri_s)
     rows = []

@@ -162,8 +162,9 @@ def main(argv=None):
                          "relative improvement over the FIRST method "
                          "(results_final_full.ipynb cells 4/17)")
     ap.add_argument("--models", nargs="+", default=None,
-                    help="with --paper: one table column group per model "
-                         "(default: just --model)")
+                    help="with --paper or --export-csv: one table column "
+                         "group / CSV pair per model (default: just "
+                         "--model)")
     ap.add_argument("--method-labels", nargs="+", default=None,
                     help="with --paper/--export-csv: display names per "
                          "method (e.g. Vanilla PCGmix PCGmix+)")
@@ -182,14 +183,22 @@ def main(argv=None):
             experiments_root=args.experiments_root,
         )
 
+    models = args.models or [args.model]
+    grids = None
+    if args.paper or args.export_csv:
+        # aggregate the run dirs ONCE per model, shared by table + export
+        from pcgmix_tpu.exp.paper import method_grid
+
+        grids = {m: method_grid(cfg_for(m), args.methods, args.n_fractions,
+                                args.metric, not args.no_robust)
+                 for m in models}
     if args.paper:
         from pcgmix_tpu.exp.paper import paper_table
 
-        models = args.models or [args.model]
         table = paper_table(
             {m: cfg_for(m) for m in models}, args.methods, args.n_fractions,
             args.metric, robust=not args.no_robust,
-            method_labels=args.method_labels,
+            method_labels=args.method_labels, grids_by_model=grids,
         )
     else:
         table = results_table(cfg_for(args.model), args.methods,
@@ -199,11 +208,11 @@ def main(argv=None):
     if args.export_csv:
         from pcgmix_tpu.exp.paper import export_all_seeds_csvs
 
-        for m in (args.models or [args.model]):
+        for m in models:
             for p in export_all_seeds_csvs(
                 cfg_for(m), args.methods, args.n_fractions, args.metric,
                 out_dir=args.export_csv, robust=not args.no_robust,
-                method_labels=args.method_labels,
+                method_labels=args.method_labels, grid=grids[m],
             ):
                 print(f"wrote {p}")
     return 0

@@ -55,6 +55,26 @@ MODEL_NAMES = (
     + list(_TSAI_NAMES)
 )
 
+#: mel-image side length per 2-D dataset name (the datasets the reference's
+#: 2-D loaders build: dataloader_physionet2d/dataloader_umc2d)
+SPEC_DATASET_SIZES = {
+    "PhysioNet(spec128)": 128,
+    "UMC(spec128)": 128,
+    "UMC(spec64)": 64,
+}
+
+
+def sample_input_shape(
+    dataset: str, num_channels: int, sig_len: int
+) -> tuple[int, ...]:
+    """Canonical batch-1 model input shape for a config.  2-D mel datasets
+    take (1, 1, S, S) images with S from the DATASET name — ``sig_len`` is
+    the 1-D cycle length (2500), never the mel size; 1-D takes (1, C, L)."""
+    if dataset in SPEC_DATASET_SIZES:
+        s = SPEC_DATASET_SIZES[dataset]
+        return (1, 1, s, s)
+    return (1, num_channels, sig_len)
+
 
 def build_model(
     name: str,

@@ -120,18 +120,20 @@ def make_pretrained_saliency_fn(
     The checkpoint loads once; the returned callable closes over it.
     """
     from pcgmix_tpu.models import build_model
-    from pcgmix_tpu.train.loop import load_checkpoint_raw
+    from pcgmix_tpu.models.registry import sample_input_shape
+    from pcgmix_tpu.train.loop import load_checkpoint
 
     @functools.lru_cache(maxsize=4)
     def provider(salopt_model: int):
         method = SALOPT_PRETRAIN_METHODS[salopt_model]
         ckpt_dir = checkpoint_dir_for(method)
         model_eval = build_model(cfg.model, cfg.dataset, cfg.num_classes, train=False)
-        # template-free restore: the stored arrays carry their shapes, so
-        # no sample input is needed (for 2-D runs cfg.sig_len is the 1-D
-        # cycle length, NOT the mel-image size — an init-based restore
-        # would fabricate a wrong-sized graph just to throw it away)
-        restored = load_checkpoint_raw(os.path.join(ckpt_dir, "model.msgpack"))
+        # structure-validated restore at the dataset's true input shape
+        # (for 2-D runs cfg.sig_len is the 1-D cycle length, NOT the mel
+        # size); the eval_shape template costs no compute
+        shape = sample_input_shape(cfg.dataset, cfg.num_channels, cfg.sig_len)
+        restored = load_checkpoint(
+            os.path.join(ckpt_dir, "model.msgpack"), model_eval, shape)
 
         def fn(data, target_ohe, frames):
             return saliency_maps(

@@ -60,11 +60,9 @@ class Classifier:
             model_name, dataset, num_classes, train=False,
             compute_dtype=compute_dtype,
         )
-        if dataset.endswith("spec128)") or dataset.endswith("spec64)"):
-            size = 64 if "64" in dataset else 128
-            shape = (1, 1, size, size)
-        else:
-            shape = (1, num_channels, sig_len)
+        from pcgmix_tpu.models.registry import sample_input_shape
+
+        shape = sample_input_shape(dataset, num_channels, sig_len)
         restored = load_checkpoint(path, model, shape)
         return cls(model, restored["params"], restored["batch_stats"], **kw)
 

@@ -786,11 +786,20 @@ def save_checkpoint(path: str, state: TrainState) -> None:
 
 
 def load_checkpoint(path: str, model, sample_shape) -> dict:
-    """Restore {'params', 'batch_stats'} for a model by shape inference."""
+    """Restore {'params', 'batch_stats'} for a model by shape inference.
+
+    The template comes from ``jax.eval_shape`` over ``model.init`` — zero
+    compute and zero device memory, but the full variable-tree STRUCTURE, so
+    a checkpoint from a different model preset fails here with a clear
+    structure mismatch instead of deep inside a later jitted apply.  Use
+    ``models.registry.sample_input_shape`` to derive ``sample_shape`` from a
+    config (2-D datasets size by the dataset name, not ``sig_len``)."""
     from flax import serialization
 
-    variables = model.init(
-        jax.random.PRNGKey(0), jnp.zeros(sample_shape, jnp.float32)
+    variables = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0), jnp.zeros(sample_shape, jnp.float32)
+        )
     )
     template = {
         "params": variables["params"],
@@ -798,16 +807,3 @@ def load_checkpoint(path: str, model, sample_shape) -> dict:
     }
     with open(path, "rb") as f:
         return serialization.from_bytes(template, f.read())
-
-
-def load_checkpoint_raw(path: str) -> dict:
-    """Restore {'params', 'batch_stats'} WITHOUT a template init
-    (flax msgpack_restore): the stored arrays carry their own shapes, so no
-    sample input — and no wasted init at a possibly-wrong input size — is
-    needed.  Use when the consuming code only applies the model."""
-    from flax import serialization
-
-    with open(path, "rb") as f:
-        restored = serialization.msgpack_restore(f.read())
-    restored.setdefault("batch_stats", {})
-    return restored

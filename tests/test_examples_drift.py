@@ -22,6 +22,7 @@ CLI_MODULES = {
     "pcgmix-build": "pcgmix_tpu.data.builder",
     "pcgmix-results": "pcgmix_tpu.exp.results",
     "pcgmix-serve": "pcgmix_tpu.serve",
+    "pcgmix-classical": "pcgmix_tpu.classical.__main__",
     "python -m pcgmix_tpu.classical": "pcgmix_tpu.classical.__main__",
 }
 
@@ -39,18 +40,31 @@ def _help_text(module: str, capsys) -> str:
     return _help_cache[module]
 
 
+_FLAG_RE = r"(?<![\w-])--[a-z][a-z0-9-]*"
+
+
 def _flags_by_cli(script: str) -> dict[str, set]:
-    """Map each CLI invoked in the script to the --flags passed anywhere in
-    it (variable-held flag bundles like $COMMON make exact per-command
-    attribution impossible in shell; whole-script scope still catches every
-    rename/removal)."""
-    src = "\n".join(
-        line for line in open(script).read().splitlines()
-        if not line.lstrip().startswith("#")
-    )
-    clis = {name for name in CLI_MODULES if name in src}
-    flags = set(re.findall(r"(?<![\w-])--[a-z][a-z0-9-]*", src))
-    return {cli: flags for cli in clis}
+    """Map each CLI invoked in the script to the --flags passed TO IT:
+    backslash continuations are joined, ``NAME="…"`` variable bundles (the
+    $COMMON pattern, possibly multi-line) are expanded into the commands
+    that reference them, comments are stripped, and flags are collected per
+    command line — so a flag is checked against the parser of the CLI that
+    actually receives it, not a union across CLIs."""
+    text = open(script).read().replace("\\\n", " ")
+    variables = {
+        name: val_dq if val_dq is not None else (val_sq or val_bare or "")
+        for name, val_dq, val_sq, val_bare in re.findall(
+            r'(?m)^\s*(\w+)=(?:"([^"]*)"|\'([^\']*)\'|(\S+))', text)
+    }
+    out: dict[str, set] = {}
+    for line in text.splitlines():
+        line = line.split("#", 1)[0]
+        line = re.sub(
+            r"\$\{?(\w+)\}?", lambda m: variables.get(m.group(1), ""), line)
+        for cli in CLI_MODULES:
+            if cli in line:
+                out.setdefault(cli, set()).update(re.findall(_FLAG_RE, line))
+    return out
 
 
 def test_every_example_flag_is_accepted(capsys):
@@ -60,12 +74,30 @@ def test_every_example_flag_is_accepted(capsys):
     for script in scripts:
         by_cli = _flags_by_cli(script)
         assert by_cli, f"{script}: no known CLI invocation found"
-        helps = [_help_text(CLI_MODULES[cli], capsys) for cli in by_cli]
-        for flag in sorted(set().union(*by_cli.values())):
-            if not any(flag in h for h in helps):
-                problems.append(f"{os.path.basename(script)}: {flag} not in "
-                                f"--help of {sorted(by_cli)}")
+        for cli, flags in sorted(by_cli.items()):
+            help_text = _help_text(CLI_MODULES[cli], capsys)
+            accepted = set(re.findall(_FLAG_RE, help_text))
+            for flag in sorted(flags - accepted):
+                problems.append(f"{os.path.basename(script)}: {flag} not "
+                                f"accepted by {cli}")
     assert not problems, "\n".join(problems)
+
+
+def test_drift_guard_catches_unknown_flag(tmp_path, capsys):
+    """The guard itself must fail on a bogus flag even when another CLI in
+    the same script would accept it (per-command attribution)."""
+    script = tmp_path / "bad.sh"
+    script.write_text(
+        'COMMON="--num-epochs 2"\n'
+        "pcgmix-serve $COMMON --this-flag-does-not-exist x\n"
+        "pcgmix-run --num-epochs 2\n"  # accepts --num-epochs: must not mask
+    )
+    by_cli = _flags_by_cli(str(script))
+    assert by_cli["pcgmix-serve"] == {"--num-epochs",
+                                      "--this-flag-does-not-exist"}
+    help_text = _help_text(CLI_MODULES["pcgmix-serve"], capsys)
+    accepted = set(re.findall(_FLAG_RE, help_text))
+    assert "--this-flag-does-not-exist" not in accepted
 
 
 def test_train_quickstart_example_runs(monkeypatch, capsys):

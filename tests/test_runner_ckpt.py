@@ -97,9 +97,9 @@ def test_salopt_dependency_2d():
 
 def test_salopt_2d_runner_e2e(tmp_path):
     """The full 2-D salopt DAG through run_grid: the base dependency trains
-    first, then the (saloptenv) run restores it template-free (the stored
-    arrays carry their shapes; cfg.sig_len is the 1-D cycle length, not the
-    mel size) and trains end-to-end."""
+    first, then the (saloptenv) run restores it at the dataset's true 2-D
+    input shape (cfg.sig_len is the 1-D cycle length, not the mel size) and
+    trains end-to-end."""
     from pcgmix_tpu.data.synthetic import synthetic_spectrogram_dict
 
     ds = synthetic_spectrogram_dict(num_wavs_train=12, num_wavs_test=4, size=32)
@@ -265,10 +265,12 @@ def test_results_cli_paper_mode(tmp_path, capsys):
         "--method-labels", "Vanilla", "PCGmix",
     ])
     out = capsys.readouterr().out
-    assert "Vanilla" in out and "PCGmix" in out
     assert "resnet9-5k acc" in out and "resnet9-5k ri" in out
-    # the vanilla row's relative improvement over itself is 0.00
-    assert "0.00 ±" in out
+    van = next(l for l in out.splitlines() if "Vanilla (no aug.)" in l)
+    pcg = next(l for l in out.splitlines() if "PCGmix (ours)" in l)
+    # vanilla row: acc filled, ri blank ('-'); method row: acc AND ri filled
+    assert van.count("±") == 1 and van.rstrip().endswith("-")
+    assert pcg.count("±") == 2
 
 
 def test_run_grid_salopt_dag(tmp_path):
