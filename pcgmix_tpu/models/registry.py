@@ -151,6 +151,18 @@ def build_model(
     raise ValueError(f"unknown model {name!r}; available: {', '.join(MODEL_NAMES)}")
 
 
+def count_parameters(params) -> int:
+    """Trainable-parameter count of a params pytree.
+
+    Parity: count_model_parameters (train_model.py:162-163), printed at
+    train start (:387).  Pass only the ``params`` collection — torch's
+    ``requires_grad`` filter excludes BN running stats, which live in
+    ``batch_stats`` here."""
+    import jax
+
+    return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
+
+
 def max_latent_depth(name: str) -> int:
     """Max depth for latentmixup's random depth draw (augmentations.py:1484-1494).
 

@@ -240,6 +240,11 @@ def train_model(
         cfg.op, cfg.lr_max, cfg.weight_decay, cfg.grad_clip, num_steps, cfg.use_sched
     )
     state = init_state(cfg, model, train_ds, tx)
+    if progress:
+        from pcgmix_tpu.models.registry import count_parameters
+
+        # parity: the reference prints this at train start (train_model.py:387)
+        print(f"\tModel parameters count: {count_parameters(state.params)}")
 
     # Data parallelism lives INSIDE the loop (the reference wraps the model
     # in nn.DataParallel unconditionally, train_model.py:385): replicate the

@@ -92,6 +92,20 @@ def test_resnet9_transplant_forward_matches(ref_models):
     np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=1e-5)
 
 
+def test_count_parameters_matches_torch(ref_models):
+    """count_parameters == the reference's count_model_parameters
+    (train_model.py:162-163): the params collection mirrors torch's
+    requires_grad set (BN running stats are buffers there, batch_stats
+    here)."""
+    from pcgmix_tpu.models.registry import count_parameters
+
+    T = 512
+    net = ref_models.ResNet9(4, 2, filters=[2, 4, 8, 16], linear=16 * (T // 32))
+    ref_count = sum(p.numel() for p in net.parameters() if p.requires_grad)
+    variables = torch_state_dict_to_flax(net.state_dict(), "resnet9-5k")
+    assert count_parameters(variables["params"]) == ref_count
+
+
 def test_potes_transplant_forward_matches(ref_models):
     torch.manual_seed(3)
     B, C, T = 5, 4, 512
