@@ -237,6 +237,39 @@ def test_pallas_train_model_under_dp_mesh():
     )
 
 
+def test_production_config_mesh_scan_pallas_matches_single_device():
+    """The full production fast config — DP mesh AND K-step scan dispatch
+    AND the Pallas mix path together (what dryrun_multichip and the bench
+    headline ship) — reproduces the plain single-device XLA run.  The
+    pairwise combinations are covered above; this pins the triple."""
+    from pcgmix_tpu.train import TrainConfig, train_model
+
+    ds = synthetic_physionet_dict(
+        num_wavs_train=16, num_wavs_test=6, segments_per_wav=2,
+        sig_len=T, seed=8,
+    )
+    kw = dict(
+        dataset="PhysioNet", model="resnet9-5k",
+        method="durmixmagwarp(0.2,4)+0.8", num_epochs=2, batch_size=B,
+        sig_len=T, lr_max=0.001, save_artifacts=False, loader_parity="numpy",
+    )
+    ref = train_model(
+        TrainConfig(n_devices=1, steps_per_dispatch=1, use_pallas=False, **kw),
+        ds,
+    )
+    got = train_model(
+        TrainConfig(n_devices=4, steps_per_dispatch=2, use_pallas=True,
+                    pallas_interpret=True, **kw),
+        ds,
+    )
+    np.testing.assert_allclose(
+        got["train_loss"], ref["train_loss"], rtol=2e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        got["test_accuracy"], ref["test_accuracy"], atol=1.0
+    )
+
+
 def test_zoo_model_under_dp_mesh():
     """A tsai-zoo family composes with the integrated DP mesh: a 4-device
     InceptionTime run reproduces the single-device metrics (same tolerance
