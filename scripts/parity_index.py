@@ -206,15 +206,15 @@ ENTRIES = [
     ("models.py", "inceptime_singstad_d3", 306, "ported",
      "pcgmix_tpu.models.singstad:SingstadInceptionTime", "depth=3"),
     ("models.py", "CNN_potes_big128and64_TS", 339, "ported",
-     "pcgmix_tpu.models.registry:build_model", "name 'Potes_big128and64' (POTES_PRESETS)"),
+     "pcgmix_tpu.models.registry:build_model", "name 'PotesBig128and64' (POTES_PRESETS)"),
     ("models.py", "CNN_potes_big64and32_TS", 342, "ported",
-     "pcgmix_tpu.models.registry:build_model", "name 'Potes_big64and32'"),
+     "pcgmix_tpu.models.registry:build_model", "name 'PotesBig64and32'"),
     ("models.py", "CNN_potes_TS", 345, "ported",
      "pcgmix_tpu.models.potes:PotesCNN", "name 'Potes'"),
     ("models.py", "CNN_potes_tenpercent_TS", 352, "ported",
-     "pcgmix_tpu.models.registry:build_model", "name 'Potes_tenpercent'"),
+     "pcgmix_tpu.models.registry:build_model", "name 'Potes0.1'"),
     ("models.py", "CNN_potes_twopercent_TS", 355, "ported",
-     "pcgmix_tpu.models.registry:build_model", "name 'Potes_twopercent'"),
+     "pcgmix_tpu.models.registry:build_model", "name 'Potes0.02'"),
     ("models.py", "conv_block_1d", 359, "inlined",
      "pcgmix_tpu.models.potes:PotesCNN", "conv+BN+ReLU(+pool) block"),
     ("models.py", "CNN_potes", 367, "ported",
