@@ -43,6 +43,85 @@ def test_classifier_roundtrip(trained):
     assert acc >= 70.0  # the trained model generalizes on the synthetic task
 
 
+def test_export_artifact_roundtrip(trained, tmp_path):
+    """StableHLO artifact (jax.export, weights baked in) reproduces the live
+    jitted forward without model code or checkpoint access."""
+    cfg, ds = trained
+    from pcgmix_tpu.serve import ExportedClassifier
+
+    ckpt = os.path.join(experiment_dir(cfg), "model.msgpack")
+    clf = Classifier.from_checkpoint(
+        ckpt, "resnet9-5k", sig_len=512, batch_size=32
+    )
+    path = str(tmp_path / "model.pcgx")
+    header = clf.export_artifact(path, (4, 512), model_name="resnet9-5k")
+    assert header["batch_size"] == 32
+    assert header["input_shape"] == [4, 512]
+    assert header["num_classes"] == 2
+    assert header["platforms"]  # current backend recorded
+
+    served = ExportedClassifier(path)
+    assert served.batch_size == 32 and served.input_shape == (4, 512)
+    test = physionet_split(ds, "test")
+    live = clf.predict_proba(test.data)
+    exported = served.predict_proba(test.data)
+    np.testing.assert_allclose(exported, live, rtol=0, atol=1e-6)
+    preds = served.predict_recordings(test.data, test.wav)
+    assert len(preds) == len(set(test.wav))
+
+    bad = tmp_path / "not_artifact.pcgx"
+    bad.write_bytes(b"NOTMAGIC" + b"\x00" * 16)
+    with pytest.raises(ValueError, match="not a pcgmix serving artifact"):
+        ExportedClassifier(str(bad))
+
+
+def test_export_artifact_multiplatform(trained, tmp_path):
+    """platforms=("cpu","tpu") produces one artifact lowered for both
+    backends; the cpu lane still matches the live forward here."""
+    cfg, ds = trained
+    from pcgmix_tpu.serve import ExportedClassifier
+
+    ckpt = os.path.join(experiment_dir(cfg), "model.msgpack")
+    clf = Classifier.from_checkpoint(
+        ckpt, "resnet9-5k", sig_len=512, batch_size=16
+    )
+    path = str(tmp_path / "model_xplat.pcgx")
+    header = clf.export_artifact(
+        path, (4, 512), platforms=("cpu", "tpu"), model_name="resnet9-5k"
+    )
+    assert sorted(header["platforms"]) == ["cpu", "tpu"]
+    served = ExportedClassifier(path)
+    test = physionet_split(ds, "test")
+    np.testing.assert_allclose(
+        served.predict_proba(test.data[:20]),
+        clf.predict_proba(test.data[:20]),
+        rtol=0, atol=1e-6,
+    )
+
+
+def test_serve_cli_artifact(trained, tmp_path, capsys):
+    """CLI --export-to writes an artifact; CLI --artifact serves from it."""
+    cfg, ds = trained
+    from pcgmix_tpu import serve, utils
+
+    path = str(tmp_path / "d.dat")
+    utils.dict2file(ds, path)
+    ckpt = os.path.join(experiment_dir(cfg), "model.msgpack")
+    art = str(tmp_path / "model.pcgx")
+    serve.main([
+        "--checkpoint", ckpt, "--model", "resnet9-5k", "--sig-len", "512",
+        "--batch-size", "32", "--export-to", art,
+    ])
+    out = capsys.readouterr().out
+    assert "# exported" in out and os.path.exists(art)
+
+    serve.main([
+        "--artifact", art, "--dataset-file", path, "--split", "test",
+    ])
+    out = capsys.readouterr().out
+    assert "p_abnormal=" in out and "recording accuracy" in out
+
+
 def test_serve_cli(trained, tmp_path, capsys):
     cfg, ds = trained
     from pcgmix_tpu import serve, utils
