@@ -56,11 +56,13 @@ class _BatchedPredictor:
     """Shared pad-to-fixed-batch inference + recording aggregation.
 
     Subclasses provide ``self._forward`` ((batch_size, …) -> (batch_size, C)
-    softmax probabilities), ``self.batch_size`` and ``self.class_majority``.
+    softmax probabilities), ``self.batch_size``, ``self.class_majority`` and
+    ``self.num_classes``.
     """
 
     batch_size: int
     class_majority: bool
+    num_classes: int = 2
 
     def predict_proba(self, data: np.ndarray) -> np.ndarray:
         """(N, …) cycles → (N, C) softmax probabilities; inputs are padded to
@@ -78,7 +80,8 @@ class _BatchedPredictor:
             if out is None:
                 out = np.zeros((n, probs.shape[1]), np.float32)
             out[b : b + valid] = probs[:valid]
-        return out if out is not None else np.zeros((0, 2), np.float32)
+        return (out if out is not None
+                else np.zeros((0, self.num_classes), np.float32))
 
     def predict_recordings(self, data: np.ndarray, wavs) -> list[Prediction]:
         """Aggregate per-cycle probabilities into per-recording predictions —
@@ -96,12 +99,13 @@ class _BatchedPredictor:
 
 class Classifier(_BatchedPredictor):
     def __init__(self, model, params, batch_stats, batch_size: int = 256,
-                 class_majority: bool = False):
+                 class_majority: bool = False, num_classes: int = 2):
         self.model = model
         self.params = params
         self.batch_stats = batch_stats
         self.batch_size = batch_size
         self.class_majority = class_majority
+        self.num_classes = num_classes
 
         @jax.jit
         def forward(data):
@@ -127,7 +131,8 @@ class Classifier(_BatchedPredictor):
 
         shape = sample_input_shape(dataset, num_channels, sig_len)
         restored = load_checkpoint(path, model, shape)
-        return cls(model, restored["params"], restored["batch_stats"], **kw)
+        return cls(model, restored["params"], restored["batch_stats"],
+                   num_classes=num_classes, **kw)
 
     def export_artifact(
         self, path: str, input_shape: tuple[int, ...],
@@ -181,24 +186,48 @@ class ExportedClassifier(_BatchedPredictor):
             magic = f.read(len(_ARTIFACT_MAGIC))
             if magic != _ARTIFACT_MAGIC:
                 raise ValueError(f"{path}: not a pcgmix serving artifact")
-            (hlen,) = struct.unpack("<I", f.read(4))
-            self.header = json.loads(f.read(hlen).decode("utf-8"))
+            head = f.read(4)
+            if len(head) < 4:
+                raise ValueError(f"{path}: truncated serving artifact header")
+            (hlen,) = struct.unpack("<I", head)
+            blob = f.read(hlen)
+            if len(blob) < hlen:
+                raise ValueError(f"{path}: truncated serving artifact header")
+            try:
+                self.header = json.loads(blob.decode("utf-8"))
+            except (UnicodeDecodeError, json.JSONDecodeError) as e:
+                raise ValueError(
+                    f"{path}: corrupt serving artifact header ({e})"
+                ) from e
             payload = f.read()
         if self.header.get("format") != _ARTIFACT_FORMAT:
             raise ValueError(
                 f"{path}: unsupported artifact format {self.header.get('format')}"
             )
         self._exported = jax_export.deserialize(bytearray(payload))
+        # Exported.call retraces on every eager invocation (~1 ms/call);
+        # jitting it once caches the trace across predict_proba batches.
+        self._call = jax.jit(self._exported.call)
         self.batch_size = int(self.header["batch_size"])
         self.input_shape = tuple(self.header["input_shape"])
         self.dtype = np.dtype(self.header["dtype"])
+        self.num_classes = int(self.header.get("num_classes", 2))
         self.class_majority = (
             bool(self.header["class_majority"])
             if class_majority is None else class_majority
         )
 
+    def predict_proba(self, data: np.ndarray) -> np.ndarray:
+        if tuple(data.shape[1:]) != self.input_shape:
+            raise ValueError(
+                f"data shape {tuple(data.shape[1:])} does not match the "
+                f"artifact's input shape {self.input_shape} "
+                f"(model {self.header.get('model') or 'unknown'})"
+            )
+        return super().predict_proba(data)
+
     def _forward(self, data):
-        return self._exported.call(jnp.asarray(data, self.dtype))
+        return self._call(jnp.asarray(data, self.dtype))
 
 
 def main(argv=None):
@@ -210,7 +239,11 @@ def main(argv=None):
     p.add_argument("--dataset-file", help="packed dataset dict to classify")
     p.add_argument("--split", default="test", choices=["train", "test"])
     p.add_argument("--num-channels", type=int, default=4)
-    p.add_argument("--class-majority", action="store_true")
+    p.add_argument("--class-majority", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="majority-vote recording aggregation; with "
+                        "--artifact the default comes from the artifact "
+                        "header (--no-class-majority overrides it off)")
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--export-to", metavar="PATH",
                    help="write a StableHLO serving artifact and exit")
@@ -242,20 +275,19 @@ def main(argv=None):
             and "spec" in args.dataset,
         )
 
+    sig_len = ds.data.shape[-1] if ds is not None else args.sig_len
     if args.artifact:
         clf = ExportedClassifier(
-            args.artifact, class_majority=args.class_majority or None,
+            args.artifact, class_majority=args.class_majority,
         )
     else:
-        sig_len = ds.data.shape[-1] if ds is not None else args.sig_len
         clf = Classifier.from_checkpoint(
             args.checkpoint, args.model, args.dataset, args.num_channels,
-            sig_len=sig_len, class_majority=args.class_majority,
+            sig_len=sig_len, class_majority=bool(args.class_majority),
             batch_size=args.batch_size,
         )
 
     if args.export_to:
-        sig_len = ds.data.shape[-1] if ds is not None else args.sig_len
         input_shape = tuple(
             sample_input_shape(args.dataset, args.num_channels, sig_len)[1:]
         )

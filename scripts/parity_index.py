@@ -414,7 +414,7 @@ def check() -> list[str]:
 
 def generate() -> str:
     counts = {}
-    for *_, status, _t, _n in [(e[0], e[1], e[2], e[3], e[4], e[5]) for e in ENTRIES]:
+    for _f, _n, _ln, status, _t, _note in ENTRIES:
         counts[status] = counts.get(status, 0) + 1
     lines = [
         "# Parity index (generated — do not edit; run scripts/parity_index.py)",

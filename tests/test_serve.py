@@ -74,6 +74,28 @@ def test_export_artifact_roundtrip(trained, tmp_path):
     with pytest.raises(ValueError, match="not a pcgmix serving artifact"):
         ExportedClassifier(str(bad))
 
+    # every malformed-file shape raises the module's ValueError contract
+    trunc = tmp_path / "trunc.pcgx"
+    trunc.write_bytes(b"PCGXSHLO" + b"\x02")  # magic + short length field
+    with pytest.raises(ValueError, match="truncated serving artifact"):
+        ExportedClassifier(str(trunc))
+    short = tmp_path / "short.pcgx"
+    short.write_bytes(b"PCGXSHLO" + (99).to_bytes(4, "little") + b"{}")
+    with pytest.raises(ValueError, match="truncated serving artifact"):
+        ExportedClassifier(str(short))
+    corrupt = tmp_path / "corrupt.pcgx"
+    corrupt.write_bytes(b"PCGXSHLO" + (4).to_bytes(4, "little") + b"\xff\xfe{!")
+    with pytest.raises(ValueError, match="corrupt serving artifact header"):
+        ExportedClassifier(str(corrupt))
+
+    # wrong-shaped data fails with the header shapes, not an XLA error
+    with pytest.raises(ValueError, match=r"\(4, 512\)"):
+        served.predict_proba(np.zeros((3, 1, 128, 128), np.float32))
+
+    # class-majority: header default, constructor override
+    assert served.class_majority is False
+    assert ExportedClassifier(path, class_majority=True).class_majority is True
+
 
 def test_export_artifact_multiplatform(trained, tmp_path):
     """platforms=("cpu","tpu") produces one artifact lowered for both
