@@ -121,6 +121,33 @@ def test_export_artifact_multiplatform(trained, tmp_path):
     )
 
 
+def test_export_artifact_2d(tmp_path):
+    """The 2-D (spectrogram) model exports and serves through the same
+    artifact path; shape validation uses the (1, S, S) header shape."""
+    import jax
+
+    from pcgmix_tpu.models import build_model
+    from pcgmix_tpu.serve import ExportedClassifier
+
+    model = build_model("resnet9", "UMC(spec64)", train=False)
+    x = np.zeros((1, 1, 64, 64), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    clf = Classifier(
+        model, variables["params"], variables.get("batch_stats", {}),
+        batch_size=8,
+    )
+    path = str(tmp_path / "spec.pcgx")
+    header = clf.export_artifact(path, (1, 64, 64), model_name="resnet9")
+    assert header["input_shape"] == [1, 64, 64]
+    served = ExportedClassifier(path)
+    data = np.random.RandomState(0).randn(11, 1, 64, 64).astype(np.float32)
+    np.testing.assert_allclose(
+        served.predict_proba(data), clf.predict_proba(data), rtol=0, atol=1e-6
+    )
+    with pytest.raises(ValueError, match=r"\(1, 64, 64\)"):
+        served.predict_proba(np.zeros((2, 4, 512), np.float32))
+
+
 def test_serve_cli_artifact(trained, tmp_path, capsys):
     """CLI --export-to writes an artifact; CLI --artifact serves from it."""
     cfg, ds = trained
