@@ -75,12 +75,11 @@ def _write_stateans(path, frames, states, key):
     savemat(path, {key: rows})
 
 
-@pytest.fixture(scope="module")
-def physionet_root(tmp_path_factory):
-    """Fake PhysioNet-2016 tree: subsets a+b, 4 recordings each (2 train /
-    2 test per subset, both classes), one Springer-annotated (sig_qual=0)
-    recording, one noise-marked annotation."""
-    root = str(tmp_path_factory.mktemp("physionet"))
+def build_fake_physionet_tree(root: str) -> str:
+    """Write a fake PhysioNet-2016 tree under ``root``: subsets a+b, 4
+    recordings each (2 train / 2 test per subset, both classes), one
+    Springer-annotated (sig_qual=0) recording, one noise-marked annotation.
+    Shared with the full-workflow chain test (test_full_workflow.py)."""
     test_rows = []
     for si, subset in enumerate("ab"):
         ref_rows = []
@@ -134,6 +133,12 @@ def physionet_root(tmp_path_factory):
     with open(os.path.join(root, "validation", "REFERENCE.csv"), "w") as f:
         f.write("\n".join(test_rows) + "\n")
     return root
+
+
+@pytest.fixture(scope="module")
+def physionet_root(tmp_path_factory):
+    """Fake PhysioNet-2016 tree (see build_fake_physionet_tree)."""
+    return build_fake_physionet_tree(str(tmp_path_factory.mktemp("physionet")))
 
 
 @pytest.fixture(scope="module")
