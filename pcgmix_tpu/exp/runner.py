@@ -65,6 +65,8 @@ def run_grid(
     robust: bool = True,
     skip_done: bool = True,
     progress: bool = True,
+    gang: bool = False,
+    gang_devices=None,
 ) -> list[TrainConfig]:
     """Run every grid point, skipping finished runs.  Returns the configs
     that were executed.
@@ -76,8 +78,50 @@ def run_grid(
     (closestknn/closestbins) methods likewise depend on the canonical
     frozen ResCNN latent-space run (latent_space.py:27-29), trained here
     first when absent; train_model then auto-loads it.
+
+    gang=True trains grid points that differ only in seed_data/seed
+    TOGETHER in one vmapped program (pcgmix_tpu.train.gang) — the
+    reference runs its ~10-member seed grids strictly sequentially
+    (experiments_timeseries.ipynb cell 13).  Points a gang can't take
+    (model-in-the-loop methods, singleton groups, unequal split sizes)
+    fall back to the sequential path; run dirs are identical either way.
+    gang_devices shards the member axis over a device mesh.
     """
     executed = []
+
+    def run_one(cfg):
+        kwargs = {}
+        lat_dep = _latent_dependency(cfg)
+        if lat_dep is not None and not experiment_already_done(lat_dep):
+            if progress:
+                print(f"run (latent dependency): {experiment_dir(lat_dep)}")
+            train_model(lat_dep, dataset, progress=progress)
+            executed.append(lat_dep)
+            # train_model auto-loads the frozen model from this run dir
+            # (latent.latent_space_for) — no kwargs needed
+        dep = _salopt_dependency(cfg, robust)
+        if dep is not None:
+            if not experiment_already_done(dep):
+                if progress:
+                    print(f"run (salopt dependency): {experiment_dir(dep)}")
+                train_model(dep, dataset, progress=progress)
+                executed.append(dep)
+
+            def ckpt_dir_for(method, _cfg=cfg):
+                resolved = _salopt_dependency(_cfg, robust)
+                return experiment_dir(resolved)
+
+            from pcgmix_tpu.saliency import make_pretrained_saliency_fn
+
+            kwargs["saliency_model_provider"] = make_pretrained_saliency_fn(
+                cfg, ckpt_dir_for
+            )
+        if progress:
+            print(f"run: {experiment_dir(cfg)}")
+        train_model(cfg, dataset, progress=progress, **kwargs)
+        executed.append(cfg)
+
+    pending = []
     for method in methods:
         for n_frac in n_fractions:
             if seed_datas is not None:
@@ -100,40 +144,29 @@ def run_grid(
                         if progress:
                             print(f"skip (done): {experiment_dir(cfg)}")
                         continue
-                    kwargs = {}
-                    lat_dep = _latent_dependency(cfg)
-                    if lat_dep is not None and not experiment_already_done(lat_dep):
-                        if progress:
-                            print(f"run (latent dependency): "
-                                  f"{experiment_dir(lat_dep)}")
-                        train_model(lat_dep, dataset, progress=progress)
-                        executed.append(lat_dep)
-                        # train_model auto-loads the frozen model from this
-                        # run dir (latent.latent_space_for) — no kwargs needed
-                    dep = _salopt_dependency(cfg, robust)
-                    if dep is not None:
-                        if not experiment_already_done(dep):
-                            if progress:
-                                print(f"run (salopt dependency): "
-                                      f"{experiment_dir(dep)}")
-                            train_model(dep, dataset, progress=progress)
-                            executed.append(dep)
+                    pending.append(cfg)
 
-                        def ckpt_dir_for(method, _cfg=cfg):
-                            resolved = _salopt_dependency(_cfg, robust)
-                            return experiment_dir(resolved)
+    if not gang:
+        for cfg in pending:
+            run_one(cfg)
+        return executed
 
-                        from pcgmix_tpu.saliency import (
-                            make_pretrained_saliency_fn,
-                        )
+    from pcgmix_tpu.train.gang import group_gangable, train_gang
 
-                        kwargs["saliency_model_provider"] = (
-                            make_pretrained_saliency_fn(cfg, ckpt_dir_for)
-                        )
-                    if progress:
-                        print(f"run: {experiment_dir(cfg)}")
-                    train_model(cfg, dataset, progress=progress, **kwargs)
-                    executed.append(cfg)
+    for group in group_gangable(pending, dataset):
+        if len(group) >= 2:
+            if progress:
+                print(
+                    f"gang of {len(group)}: {group[0].method} "
+                    f"nfrac={group[0].n_fraction} "
+                    f"seed_datas={[c.seed_data for c in group]}"
+                )
+            train_gang(
+                group, dataset, n_devices=gang_devices, progress=progress
+            )
+            executed.extend(group)
+        else:
+            run_one(group[0])
     return executed
 
 
@@ -199,6 +232,17 @@ def main(argv=None):
              "(dataloader_physionet.py:81-84); 'base-trueseed=N' method "
              "labels also derive it",
     )
+    p.add_argument(
+        "--gang", action="store_true",
+        help="train grid points differing only in seed_data/seed together "
+             "in one vmapped program (pcgmix_tpu.train.gang); ineligible "
+             "points fall back to sequential runs",
+    )
+    p.add_argument(
+        "--gang-devices", type=int, default=None,
+        help="shard the gang's member axis over this many devices "
+             "(zero-collective seed parallelism; gang size must divide)",
+    )
     args = p.parse_args(argv)
 
     dataset = utils.file2dict(args.dataset_file)
@@ -231,6 +275,8 @@ def main(argv=None):
         args.seeds,
         seed_datas=args.seed_datas,
         robust=not args.no_robust,
+        gang=args.gang,
+        gang_devices=args.gang_devices,
     )
 
 

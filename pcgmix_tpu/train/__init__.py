@@ -9,6 +9,7 @@ plus a jitted eval step with host-side recording-level aggregation.
 from pcgmix_tpu.train.losses import soft_target_ce, selc_update
 from pcgmix_tpu.train.schedule import onecycle_lr, onecycle_beta1
 from pcgmix_tpu.train.loop import TrainConfig, train_model
+from pcgmix_tpu.train.gang import train_gang, gang_ineligible_reason
 
 __all__ = [
     "soft_target_ce",
@@ -17,4 +18,6 @@ __all__ = [
     "onecycle_beta1",
     "TrainConfig",
     "train_model",
+    "train_gang",
+    "gang_ineligible_reason",
 ]

@@ -1,0 +1,534 @@
+"""Gang training: one jitted program trains a whole seed grid at once.
+
+The reference's published numbers are means over seed grids — ~10 runs per
+(model, method, n_fraction) differing only in ``seed_data``
+(read_experiments.py:20-59); it executes them strictly sequentially
+(experiments_timeseries.ipynb cell 13).  On TPU that is the wrong shape: a
+batch-64 run of a ≤9M-parameter CNN leaves most of the MXU idle, and every
+run pays the full dispatch/collective overhead alone.
+
+Gang mode instead ``jax.vmap``s the train step over a leading *member* axis
+S and trains all S grid members simultaneously in one XLA program:
+
+- the train corpus is staged in HBM ONCE (members' splits are row-subsets
+  of the same base array — ``ArrayDataset.rows`` provenance maps each
+  member's split-local batch indices to shared base rows);
+- the test split is identical across members (PhysioNet mode='test' ignores
+  ``seed_data``, dataloader_physionet.py:27-39), so eval tensors are staged
+  once and members are evaluated by slicing the stacked state;
+- model init is identical across members (the reference fixes
+  ``torch.manual_seed(seed_fix)`` with seed_fix=4 for the whole grid,
+  train_model.py:222) — states start equal and diverge through the
+  per-member data order and augmentation plans;
+- augmentation plans are built host-side by one *per-member* engine each
+  step (the step-seeded reference RNG protocol makes each member's plans
+  bit-identical to its standalone run), stacked, and applied inside the
+  vmapped step;
+- each member still writes its own reference-contract run directory
+  (performance.pkl, model.msgpack), so the results/reporting stack reads
+  gang output unchanged.
+
+Multi-chip: the member axis is embarrassingly parallel — sharding the
+stacked state/batches on a 1-axis mesh ("gang") needs NO collectives at
+all, unlike batch-axis DP which all-reduces gradients every step.  Pass
+``n_devices`` > 1 (S must divide evenly).
+
+Scope: methods whose plans need no model in the loop — the same set the
+scan dispatch supports (train/loop.py use_resident) minus the latent-space
+split-forward methods; :func:`gang_ineligible_reason` reports why a config
+must fall back to :func:`pcgmix_tpu.train.loop.train_model`.
+
+``times`` in each member's performance dict is the gang's wall-clock (the
+members train concurrently, so that IS each member's elapsed time).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pcgmix_tpu import utils
+from pcgmix_tpu.augment.engine import AugmentConfig, AugmentEngine
+from pcgmix_tpu.data import EpochIterator
+from pcgmix_tpu.data.datasets import ArrayDataset
+from pcgmix_tpu.exp.dirs import experiment_dir
+from pcgmix_tpu.models import build_model
+from pcgmix_tpu.train.loop import (
+    TrainConfig,
+    build_splits,
+    _selc_turnpoint,
+    evaluate,
+    init_state,
+    save_checkpoint,
+    stage_eval,
+)
+from pcgmix_tpu.train.losses import init_selc_table
+from pcgmix_tpu.train.metrics import PerformanceTracker, segment_accuracy
+from pcgmix_tpu.train.steps import make_eval_step, make_optimizer, make_train_step
+
+# config fields allowed to differ between gang members: seed_data selects the
+# train subset, seed the epoch shuffle stream (with valid=False neither
+# changes any static shape); everything else must match for one program to
+# serve all members
+_MEMBER_FIELDS = ("seed_data", "seed")
+
+
+def gang_ineligible_reason(cfg: TrainConfig) -> Optional[str]:
+    """Why this config cannot train in a gang (None = eligible).
+
+    The constraints mirror the scan dispatch's (train/loop.py use_resident +
+    scan_mode): every member's step must be a pure function of (state,
+    indices, plan) with one static program shape.  Decidable from the config
+    alone, so the grid runner can group eligible points before loading data.
+    """
+    from pcgmix_tpu.augment.methods import parse_method
+
+    if cfg.classical_space:
+        return "classical_space dumps need host-side batch tensors"
+    if cfg.latent_space:
+        return "latent_space dumps need host-side batch tensors"
+    if cfg.track_variability:
+        return "variability tracking reads per-member host batches"
+    if cfg.checkpoint_every:
+        return "periodic checkpoint/resume is not wired for stacked states"
+    spec = parse_method(cfg.method, spectrogram=cfg.spectrogram)
+    if spec.base in ("lc-nointrusion", "saliency-cutmix"):
+        return f"{spec.base} changes the batch row count in-loop"
+    if spec.salopt is not None:
+        return "saliency methods run a model in the planning loop"
+    if spec.pairing in ("closestknn", "closestbins"):
+        return "latent pairing runs a frozen model in the planning loop"
+    if spec.enabled and (spec.base == "latentmixup" or spec.manifold):
+        return "split-forward depth varies per step (latentmixup/manifold)"
+    return None
+
+
+def _validate_members(cfgs: list[TrainConfig]) -> None:
+    base = dataclasses.asdict(cfgs[0])
+    for f in _MEMBER_FIELDS:
+        base.pop(f)
+    for cfg in cfgs[1:]:
+        d = dataclasses.asdict(cfg)
+        for f in _MEMBER_FIELDS:
+            d.pop(f)
+        if d != base:
+            diff = [k for k in d if d[k] != base[k]]
+            raise ValueError(
+                f"gang members may differ only in {_MEMBER_FIELDS}; "
+                f"got differing fields {diff}"
+            )
+
+
+def group_gangable(cfgs: list[TrainConfig], dataset: dict) -> list[list[TrainConfig]]:
+    """Bucket configs into gangs that can train as one program.
+
+    Two configs share a bucket when they differ only in ``_MEMBER_FIELDS``,
+    are gang-eligible, and resolve to equal-sized train splits and identical
+    test splits (segment counts per recording vary, so two seed_data values
+    can select different-sized subsets — those must train in separate
+    programs; the split selection is host-side and cheap relative to
+    training).  Singleton buckets (and ineligible configs) should run via
+    :func:`pcgmix_tpu.train.loop.train_model`.  Bucket order follows first
+    appearance; members keep input order.
+    """
+    groups: dict = {}
+    order: list = []
+    for cfg in cfgs:
+        if gang_ineligible_reason(cfg) is not None:
+            key = ("ineligible", id(cfg))
+        else:
+            d = dataclasses.asdict(cfg)
+            for f in _MEMBER_FIELDS:
+                d.pop(f)
+            tr, te = build_splits(cfg, dataset)
+            key = (repr(sorted(d.items(), key=lambda kv: kv[0])),
+                   len(tr), tuple(te.wav), tuple(te.label.tolist()))
+        if key not in groups:
+            groups[key] = []
+            order.append(key)
+        groups[key].append(cfg)
+    return [groups[k] for k in order]
+
+
+def _base_train_dataset(cfg: TrainConfig, dataset: dict) -> ArrayDataset:
+    """The shared from_dict base every member split's ``rows`` index into
+    (physionet_split/umc_split build from this exact call before take())."""
+    if cfg.dataset.startswith("PhysioNet"):
+        return ArrayDataset.from_dict(
+            dataset["train"], cfg.num_channels, False, cfg.spectrogram
+        )
+    if cfg.dataset.startswith("UMC"):
+        return ArrayDataset.from_dict(
+            dataset, cfg.num_channels, False, cfg.spectrogram
+        )
+    raise ValueError(f"unknown dataset {cfg.dataset!r}")
+
+
+def _stack_trees(trees, axis=0):
+    """Stack a list of same-structure plan trees; jax leaves stay on device."""
+    return jax.tree_util.tree_map(
+        lambda *xs: (
+            jnp.stack(xs, axis=axis)
+            if isinstance(xs[0], jax.Array)
+            else np.stack([np.asarray(x) for x in xs], axis=axis)
+        ),
+        *trees,
+    )
+
+
+def train_gang(
+    cfgs: list[TrainConfig],
+    dataset: dict,
+    *,
+    n_devices: Optional[int] = None,
+    progress: bool = False,
+) -> list[dict]:
+    """Train all members simultaneously; returns one performance dict per
+    member, each bit-compatible with :func:`train_model`'s output schema
+    (metrics equal up to vmap-batched float reassociation).
+
+    n_devices > 1 shards the member axis over a device mesh (zero-collective
+    seed parallelism); len(cfgs) must divide evenly.
+    """
+    if not cfgs:
+        raise ValueError("empty gang")
+    _validate_members(cfgs)
+    cfg0 = cfgs[0]
+    reason = gang_ineligible_reason(cfg0)
+    if reason is not None:
+        raise ValueError(f"config not gang-eligible ({reason}); use train_model")
+    S = len(cfgs)
+
+    splits = [build_splits(cfg, dataset) for cfg in cfgs]
+    train_sets = [tr for tr, _ in splits]
+    test_ds = splits[0][1]
+    n_train = len(train_sets[0])
+    for cfg, (tr, te) in zip(cfgs[1:], splits[1:]):
+        if len(tr) != n_train:
+            raise ValueError(
+                f"gang members must have equal train split sizes (one "
+                f"program = one steps_per_epoch); seed_data={cfg.seed_data} "
+                f"seed={cfg.seed} gives {len(tr)} vs {n_train} — bucket "
+                f"configs with group_gangable() first"
+            )
+        if not (
+            np.array_equal(te.wav, test_ds.wav)
+            and np.array_equal(te.label, test_ds.label)
+        ):
+            raise ValueError(
+                "gang members must share the test split (PhysioNet "
+                "valid=False does; CV folds / UMC held-out groups differ "
+                "per seed — train those singly)"
+            )
+    for tr in train_sets:
+        if tr.rows is None:
+            raise ValueError("train split lacks row provenance (rows=None)")
+
+    steps_per_epoch = n_train // cfg0.batch_size
+    num_steps = cfg0.num_epochs * steps_per_epoch
+    if num_steps == 0:
+        raise ValueError("train split smaller than one batch")
+
+    dtype = jnp.bfloat16 if cfg0.compute_dtype == "bfloat16" else None
+    model = build_model(
+        cfg0.model, cfg0.dataset, cfg0.num_classes, train=True, compute_dtype=dtype
+    )
+    model_eval = build_model(
+        cfg0.model, cfg0.dataset, cfg0.num_classes, train=False, compute_dtype=dtype
+    )
+    tx = make_optimizer(
+        cfg0.op, cfg0.lr_max, cfg0.weight_decay, cfg0.grad_clip,
+        num_steps, cfg0.use_sched,
+    )
+
+    # one planning engine per member (np_stream state advances per run);
+    # engines[0] doubles as the apply closure — apply() is a pure function
+    # of the plan arrays, no per-member state
+    def make_engine(cfg):
+        cvd_map = cfg.cvd_map
+        if isinstance(cvd_map, str):
+            from pcgmix_tpu.data.datasets import load_cvd_map
+
+            cvd_map = load_cvd_map(cvd_map)
+        return AugmentEngine(
+            AugmentConfig(
+                method=cfg.method,
+                batch_size=cfg.batch_size,
+                num_channels=train_sets[0].data.shape[1],
+                sig_len=train_sets[0].data.shape[-1],
+                num_classes=cfg.num_classes,
+                sample_rate=cfg.sample_rate,
+                spectrogram=cfg.spectrogram,
+                spec_freq=train_sets[0].data.shape[-2] if cfg.spectrogram else 0,
+                model=cfg.model,
+                cvd_map=cvd_map,
+                # the Pallas mix kernels are not vmap-batched; the XLA path
+                # is bit-identical (tests/test_pallas_mix) and fuses fine
+                use_pallas=False,
+                mesh=None,
+                pallas_interpret=False,
+            )
+        )
+
+    engines = [make_engine(cfg) for cfg in cfgs]
+    base_ds = _base_train_dataset(cfg0, dataset)
+    base_data = jnp.asarray(base_ds.data)
+    base_labels = jnp.asarray(base_ds.label)
+    member_rows = [np.asarray(tr.rows, np.int64) for tr in train_sets]
+
+    selc_es = _selc_turnpoint(cfg0)
+    raw_step = make_train_step(
+        model, tx, selc_es=selc_es,
+        engine=engines[0] if engines[0].enabled else None,
+        train_data=base_data, train_labels=base_labels,
+    )._raw_step
+
+    # stacked state: identical init per member (the grid shares seed_fix),
+    # per-member SELC tables from each member's own labels
+    state0 = init_state(cfg0, model, train_sets[0], tx)
+    state = jax.tree_util.tree_map(
+        lambda x: jnp.repeat(jnp.asarray(x)[None], S, axis=0), state0
+    )
+    state = state.replace(
+        soft_labels=jnp.stack(
+            [init_selc_table(tr.label, cfg0.num_classes) for tr in train_sets]
+        )
+    )
+
+    mesh = None
+    if n_devices is not None and n_devices > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from pcgmix_tpu.parallel import make_mesh, shard_batch
+
+        if S % n_devices:
+            raise ValueError(
+                f"gang size {S} must divide evenly over {n_devices} devices"
+            )
+        mesh = make_mesh(n_devices, axis="gang")
+        state = jax.device_put(state, NamedSharding(mesh, P("gang")))
+
+        def put(tree):
+            return shard_batch(tree, mesh, axis="gang", axis_index=0)
+    else:
+        def put(tree):
+            return jax.tree_util.tree_map(jnp.asarray, tree)
+
+    enabled = engines[0].enabled
+
+    def member_step(st, idx, rows, plan, epoch, rng):
+        return raw_step(st, {"indices": idx, "rows": rows}, plan, epoch, rng)
+
+    gang_step = jax.jit(
+        jax.vmap(member_step, in_axes=(0, 0, 0, 0 if enabled else None, None, None)),
+        donate_argnums=(0,),
+    )
+
+    scan_k = cfg0.steps_per_dispatch
+    gang_multi = None
+    if scan_k > 1:
+        def member_multi(st, idx_seq, rows_seq, plan_seq, sids, epoch, rng):
+            def body(s, xs):
+                idx, rows, plan, sid = xs
+                return raw_step(
+                    s, {"indices": idx, "rows": rows}, plan, epoch,
+                    jax.random.fold_in(rng, sid),
+                )
+
+            return jax.lax.scan(body, st, (idx_seq, rows_seq, plan_seq, sids))
+
+        gang_multi = jax.jit(
+            jax.vmap(
+                member_multi,
+                in_axes=(0, 0, 0, 0 if enabled else None, None, None, None),
+            ),
+            donate_argnums=(0,),
+        )
+
+    eval_step = make_eval_step(model_eval)
+    if cfg0.use_sched:
+        from pcgmix_tpu.train.schedule import onecycle_lr
+
+        lr_table = np.asarray(
+            jax.vmap(onecycle_lr(num_steps, cfg0.lr_max))(jnp.arange(num_steps))
+        )
+    else:
+        lr_table = np.full(num_steps, cfg0.lr_max, np.float32)
+
+    run_dirs = [
+        utils.check_folder(experiment_dir(cfg)) if cfg.save_artifacts else None
+        for cfg in cfgs
+    ]
+    perfs = [PerformanceTracker() for _ in cfgs]
+    epoch_plot = np.array(
+        sorted(set(np.linspace(1, cfg0.num_epochs, 11).astype(int)))
+    )
+    base_key = jax.random.PRNGKey(cfg0.seed_fix)
+    eval_staged = None
+    step_count = 0
+    times: list[float] = []
+    lr_per_step: list[float] = []
+    done = False
+
+    for epoch in range(1, cfg0.num_epochs + 1):
+        if cfg0.profile_dir and epoch == min(2, cfg0.num_epochs):
+            jax.profiler.start_trace(cfg0.profile_dir)
+        t0 = time.time()
+        epoch_losses: list = []   # device arrays (S,) or (S, K)
+        epoch_preds: list = []    # (S, B) or (S, K, B)
+        epoch_targets: list = []
+        iters = [
+            iter(
+                EpochIterator(
+                    tr, cfg.batch_size, cfg.seed, step_count,
+                    cfg.loader_parity, materialize_data=False,
+                )
+            )
+            for tr, cfg in zip(train_sets, cfgs)
+        ]
+        buf_idx, buf_rows, buf_plans, buf_sids = [], [], [], []
+
+        def flush(n_items):
+            nonlocal state
+            if n_items >= 2 and gang_multi is not None:
+                idx_seq = np.stack(buf_idx[:n_items], axis=1)    # (S, K, B)
+                rows_seq = np.stack(buf_rows[:n_items], axis=1)
+                plan_seq = (
+                    _stack_trees(buf_plans[:n_items], axis=1) if enabled else None
+                )
+                state, outs = gang_multi(
+                    state, put(idx_seq), put(rows_seq),
+                    put(plan_seq) if enabled else None,
+                    jnp.asarray(buf_sids[:n_items]), epoch, base_key,
+                )
+                epoch_losses.append(outs["loss"])
+                epoch_preds.append(outs["preds"])
+                epoch_targets.append(outs["target"])
+            else:
+                for k in range(n_items):
+                    state, out = gang_step(
+                        state, put(buf_idx[k]), put(buf_rows[k]),
+                        put(buf_plans[k]) if enabled else None, epoch,
+                        jax.random.fold_in(base_key, buf_sids[k]),
+                    )
+                    epoch_losses.append(out["loss"][:, None])
+                    epoch_preds.append(out["preds"][:, None])
+                    epoch_targets.append(out["target"][:, None])
+            del buf_idx[:n_items], buf_rows[:n_items]
+            del buf_plans[:n_items], buf_sids[:n_items]
+
+        for _ in range(steps_per_epoch):
+            batches = [next(it) for it in iters]
+            buf_idx.append(np.stack([b["indices"] for b in batches]))  # (S, B)
+            buf_rows.append(
+                np.stack(
+                    [rows[b["indices"]]
+                     for rows, b in zip(member_rows, batches)]
+                )
+            )
+            if enabled:
+                buf_plans.append(
+                    _stack_trees(
+                        [
+                            eng.plan_arrays_or_identity(
+                                step_count, b["frames"], b["label"], b["wav"]
+                            )[0]
+                            for eng, b in zip(engines, batches)
+                        ]
+                    )
+                )
+            buf_sids.append(step_count)
+            lr_per_step.append(float(lr_table[step_count]))
+            step_count += 1
+            if len(buf_idx) == max(scan_k, 1):
+                flush(len(buf_idx))
+            if step_count >= num_steps:
+                done = True
+                break
+        if buf_idx:
+            # partial tail: a different-K scan would recompile — single steps
+            flush_n = len(buf_idx)
+            saved_multi, gang_multi = gang_multi, None
+            flush(flush_n)
+            gang_multi = saved_multi
+
+        if epoch in epoch_plot and epoch_losses:
+            jax.block_until_ready(epoch_losses[-1])
+        times.append(time.time() - t0)
+        if cfg0.profile_dir and epoch == min(2, cfg0.num_epochs):
+            jax.profiler.stop_trace()
+        if epoch in epoch_plot:
+            losses_h, preds_h, targets_h = jax.device_get(
+                (epoch_losses, epoch_preds, epoch_targets)
+            )
+            losses_np = np.concatenate(
+                [np.atleast_2d(np.asarray(l)) for l in losses_h], axis=1
+            )  # (S, steps)
+            preds_np = np.concatenate(
+                [np.asarray(p).reshape(S, -1) for p in preds_h], axis=1
+            )
+            targets_np = np.concatenate(
+                [np.asarray(t).reshape(S, -1) for t in targets_h], axis=1
+            )
+            if eval_staged is None:
+                eval_staged = stage_eval(
+                    test_ds, cfg0.eval_batch_size, cfg0.num_classes
+                )
+            for s, (cfg, perf) in enumerate(zip(cfgs, perfs)):
+                perf.add("epochs", epoch)
+                perf.add("steps", step_count)
+                perf.add("train_loss", float(losses_np[s].mean()))
+                perf.add(
+                    "train_accuracy",
+                    segment_accuracy(preds_np[s], targets_np[s]),
+                )
+                member_state = jax.tree_util.tree_map(lambda x: x[s], state)
+                evaluate(
+                    cfg, eval_step, member_state, test_ds, perf,
+                    engines[0].spec.class_majority, staged=eval_staged,
+                )
+                perf.add("times", float(np.sum(times)))
+                if run_dirs[s]:
+                    utils.save_dict(
+                        perf.dict, os.path.join(run_dirs[s], "performance.pkl")
+                    )
+                    if cfg.plot:
+                        from pcgmix_tpu.exp import plotters
+
+                        plotters.plot_train_test_acc(
+                            perf.dict["train_accuracy"],
+                            perf.dict["test_accuracy"],
+                            cfg.valid, perf.dict["steps"], run_dirs[s],
+                        )
+                        plotters.plot_train_test_loss(
+                            perf.dict["train_loss"], perf.dict["test_loss"],
+                            cfg.valid, perf.dict["steps"], run_dirs[s],
+                        )
+                        plotters.plot_lr_per_step(lr_per_step, run_dirs[s])
+                        plotters.plot_times(
+                            times, list(range(1, len(times) + 1)), run_dirs[s]
+                        )
+            if progress:
+                accs = [p.dict["test_accuracy"][-1] for p in perfs]
+                print(
+                    f"epoch {epoch}: gang of {S}, "
+                    f"test_acc mean={np.mean(accs):.2f} "
+                    f"min={min(accs):.2f} max={max(accs):.2f}"
+                )
+        if done:
+            break
+
+    for s, (cfg, perf) in enumerate(zip(cfgs, perfs)):
+        member_state = jax.tree_util.tree_map(lambda x: x[s], state)
+        if run_dirs[s]:
+            save_checkpoint(
+                os.path.join(run_dirs[s], "model.msgpack"), member_state
+            )
+        perf.dict["lr_per_step"] = list(lr_per_step)
+    return [perf.dict for perf in perfs]

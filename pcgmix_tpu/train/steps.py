@@ -109,11 +109,19 @@ def make_train_step(
     def loss_fn(params, batch_stats, soft_labels, batch, plan, epoch, rng):
         variables = {"params": params, "batch_stats": batch_stats}
         if train_data is not None:
-            idx = jnp.asarray(batch["indices"], jnp.int32)
-            data = jnp.take(train_data, idx, axis=0)
+            # gather rows: batch['rows'] (gang mode — row ids into a SHARED
+            # base array, distinct from the split-local 'indices' the SELC
+            # table scatters by) falls back to 'indices' for single runs,
+            # where the resident array IS the split
+            rows = batch.get("rows")
+            rows = (
+                jnp.asarray(batch["indices"], jnp.int32)
+                if rows is None else jnp.asarray(rows, jnp.int32)
+            )
+            data = jnp.take(train_data, rows, axis=0)
             num_classes = soft_labels.shape[1]
             target = jax.nn.one_hot(
-                jnp.take(train_labels, idx), num_classes, dtype=train_data.dtype
+                jnp.take(train_labels, rows), num_classes, dtype=train_data.dtype
             )
         else:
             data = batch["data"]

@@ -1,0 +1,219 @@
+"""Gang training (vmap over the seed grid) — parity vs single runs.
+
+The reference executes its seed grids strictly sequentially
+(experiments_timeseries.ipynb cell 13); gang mode trains all members in one
+vmapped program (pcgmix_tpu/train/gang.py).  Each member must reproduce its
+standalone train_model run: same splits, same plans (step-seeded reference
+RNG), same metrics up to vmap-batched float reassociation.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from pcgmix_tpu.data import synthetic_physionet_dict
+from pcgmix_tpu.train import TrainConfig, train_gang, train_model
+from pcgmix_tpu.train.gang import gang_ineligible_reason, group_gangable
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset():
+    return synthetic_physionet_dict(
+        num_wavs_train=24, num_wavs_test=8, segments_per_wav=3, sig_len=512, seed=7
+    )
+
+
+@pytest.fixture(scope="module")
+def seed_datas(tiny_dataset):
+    """Four seed_data values whose train subsets are equal-sized (segment
+    counts per recording vary, so not every pair is gangable — exactly the
+    grouping group_gangable exists for)."""
+    probe = [_cfg(seed_data=1100000 + i) for i in range(1, 17)]
+    groups = [g for g in group_gangable(probe, tiny_dataset) if len(g) >= 4]
+    assert groups, "probe range yielded no 4-member gangable group"
+    return [c.seed_data for c in groups[0][:4]]
+
+
+def _cfg(**kw):
+    defaults = dict(
+        dataset="PhysioNet",
+        model="resnet9-5k",
+        method="base",
+        num_epochs=3,
+        batch_size=16,
+        sig_len=512,
+        n_fraction=0.5,  # <1 so seed_data actually selects different subsets
+        save_artifacts=False,
+        loader_parity="numpy",
+    )
+    defaults.update(kw)
+    return TrainConfig(**defaults)
+
+
+def _members(seed_datas, **kw):
+    return [_cfg(seed_data=sd, **kw) for sd in seed_datas]
+
+
+def _assert_member_parity(gang_perfs, single_perfs, loss_rtol=1e-2):
+    """Gang vs single runs match modulo float reassociation: the vmapped
+    program batches the convs/reductions differently, so per-step rounding
+    differs at ~1e-7 and Adam amplifies it on small-gradient parameters
+    (update ≈ sign(g) near eps).  On this box even two identical
+    train_model runs in different processes differ by ~1.4e-3 relative
+    (the persistent XLA-CPU cache holds executables compiled for another
+    machine type), so tolerances must cover cross-program noise, not just
+    vmap: measured gang-vs-single ≤ 1.5e-3 rel, single-step parity 1e-6.
+    Accuracies are argmax metrics: a boundary flip is worth one test
+    recording (100/8 = 12.5 pts here) / a few train segments.
+
+    The discriminative check below is what actually proves member↔data
+    pairing: each gang member's loss trajectory must be (much) closer to
+    its OWN single run than to any other member's.
+    """
+    for g, s in zip(gang_perfs, single_perfs):
+        np.testing.assert_allclose(
+            g["train_loss"], s["train_loss"], rtol=loss_rtol, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            g["test_loss"], s["test_loss"], rtol=loss_rtol, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            g["test_accuracy"], s["test_accuracy"], atol=13.0
+        )
+        np.testing.assert_allclose(
+            g["train_accuracy"], s["train_accuracy"], atol=5.0
+        )
+        assert g["epochs"] == s["epochs"]
+        assert g["steps"] == s["steps"]
+    if len(gang_perfs) >= 2:
+        # member↔data pairing: own single run is the nearest trajectory
+        trajs = [np.asarray(s["train_loss"]) for s in single_perfs]
+        if not all(
+            np.allclose(trajs[0], t, rtol=1e-3) for t in trajs[1:]
+        ):  # members with identical data orders can't be discriminated
+            for i, g in enumerate(gang_perfs):
+                d = [
+                    float(np.linalg.norm(np.asarray(g["train_loss"]) - t))
+                    for t in trajs
+                ]
+                assert int(np.argmin(d)) == i, (
+                    f"gang member {i} nearest to single run {int(np.argmin(d))}"
+                )
+
+
+def test_gang_base_matches_single_runs(tiny_dataset, seed_datas):
+    cfgs = _members(seed_datas[:3])
+    gang = train_gang(cfgs, tiny_dataset)
+    singles = [train_model(c, tiny_dataset) for c in cfgs]
+    # the three members see different seed_data subsets: they must differ
+    assert (
+        gang[0]["train_loss"] != gang[1]["train_loss"]
+        or gang[0]["test_accuracy"] != gang[1]["test_accuracy"]
+    )
+    _assert_member_parity(gang, singles)
+
+
+def test_gang_pcgmix_matches_single_runs(tiny_dataset, seed_datas):
+    cfgs = _members(seed_datas[:3], method="durratiomixup")
+    gang = train_gang(cfgs, tiny_dataset)
+    singles = [train_model(c, tiny_dataset) for c in cfgs]
+    _assert_member_parity(gang, singles)
+
+
+def test_gang_scan_matches_plain_gang(tiny_dataset, seed_datas):
+    cfgs = _members(seed_datas[:3], method="durmixmagwarp(0.2,4)+0.8")
+    plain = train_gang(cfgs, tiny_dataset)
+    scanned = train_gang(
+        [_cfg(seed_data=sd, method="durmixmagwarp(0.2,4)+0.8",
+              steps_per_dispatch=2) for sd in seed_datas[:3]],
+        tiny_dataset,
+    )
+    _assert_member_parity(scanned, plain)
+
+
+def test_gang_mesh_matches_single_device(tiny_dataset, seed_datas):
+    cfgs = [_cfg(seed_data=sd, method="durratiomixup", num_epochs=2)
+            for sd in seed_datas]
+    plain = train_gang(cfgs, tiny_dataset)
+    meshed = train_gang(cfgs, tiny_dataset, n_devices=4)
+    _assert_member_parity(meshed, plain)
+
+
+def test_gang_varying_seed_allowed(tiny_dataset):
+    """Members may also differ in the epoch-shuffle seed."""
+    cfgs = [_cfg(seed=1, num_epochs=2), _cfg(seed=2, num_epochs=2)]
+    gang = train_gang(cfgs, tiny_dataset)
+    singles = [train_model(c, tiny_dataset) for c in cfgs]
+    _assert_member_parity(gang, singles)
+
+
+def test_gang_artifacts(tiny_dataset, seed_datas, tmp_path):
+    cfgs = [
+        _cfg(seed_data=sd, num_epochs=2, save_artifacts=True, plot=False,
+             experiments_root=str(tmp_path))
+        for sd in seed_datas[:2]
+    ]
+    train_gang(cfgs, tiny_dataset)
+    from pcgmix_tpu.exp.dirs import experiment_dir
+    from pcgmix_tpu.utils import load_dict
+
+    for cfg in cfgs:
+        d = experiment_dir(cfg)
+        assert os.path.exists(os.path.join(d, "performance.pkl"))
+        assert os.path.exists(os.path.join(d, "model.msgpack"))
+        perf = load_dict(os.path.join(d, "performance.pkl"))
+        assert len(perf["test_accuracy"]) >= 1
+
+
+def test_runner_gang_mode(tiny_dataset, seed_datas, tmp_path):
+    """run_grid(gang=True): gangable points train together, odd-sized
+    subsets fall back to sequential runs, artifacts satisfy the done/skip
+    contract either way."""
+    from pcgmix_tpu.exp.dirs import experiment_dir
+    from pcgmix_tpu.exp.runner import run_grid
+
+    base = _cfg(num_epochs=2, save_artifacts=True, plot=False,
+                experiments_root=str(tmp_path))
+    sds = seed_datas + [1100001]  # the extra one may or may not be gangable
+    ran = run_grid(base, tiny_dataset, ["base"], [0.5], [1], seed_datas=sds,
+                   robust=False, progress=False, gang=True)
+    assert len(ran) == len(sds)
+    for cfg in ran:
+        d = experiment_dir(cfg)
+        assert os.path.exists(os.path.join(d, "model.msgpack"))
+        assert os.path.exists(os.path.join(d, "performance.pkl"))
+    ran2 = run_grid(base, tiny_dataset, ["base"], [0.5], [1], seed_datas=sds,
+                    robust=False, progress=False, gang=True)
+    assert ran2 == []
+
+
+def test_gang_rejects_mixed_configs(tiny_dataset, seed_datas):
+    cfgs = [_cfg(seed_data=seed_datas[0]), _cfg(seed_data=seed_datas[1],
+                                                batch_size=8)]
+    with pytest.raises(ValueError, match="differ only in"):
+        train_gang(cfgs, tiny_dataset)
+
+
+def test_gang_rejects_ineligible_method(tiny_dataset):
+    with pytest.raises(ValueError, match="not gang-eligible"):
+        train_gang([_cfg(method="latentmixup")], tiny_dataset)
+
+
+def test_ineligible_reasons():
+    assert gang_ineligible_reason(_cfg()) is None
+    assert gang_ineligible_reason(_cfg(method="durratiomixup")) is None
+    assert gang_ineligible_reason(_cfg(method="SELCbase")) is None
+    for bad in (
+        _cfg(method="latentmixup"),
+        _cfg(method="manifold-cutmix"),
+        _cfg(method="lc-nointrusion"),
+        _cfg(method="saliency-cutmix"),
+        _cfg(method="(saloptenv-1)durratiomixup"),
+        _cfg(method="(closestknn=8)durmixmagwarp(0.2,4)"),
+        _cfg(classical_space=True),
+        _cfg(latent_space=True),
+        _cfg(checkpoint_every=2),
+        _cfg(track_variability=True),
+    ):
+        assert gang_ineligible_reason(bad) is not None
