@@ -33,10 +33,14 @@ stacked state/batches on a 1-axis mesh ("gang") needs NO collectives at
 all, unlike batch-axis DP which all-reduces gradients every step.  Pass
 ``n_devices`` > 1 (S must divide evenly).
 
-Scope: methods whose plans need no model in the loop — the same set the
-scan dispatch supports (train/loop.py use_resident) minus the latent-space
-split-forward methods; :func:`gang_ineligible_reason` reports why a config
-must fall back to :func:`pcgmix_tpu.train.loop.train_model`.
+Scope: methods whose plans need no model in the loop — the set the
+resident-corpus path supports (train/loop.py use_resident).  The
+latentmixup/manifold split-forward methods gang too (their depth/gate draws
+are step-seeded, hence member-uniform), dispatched per step through
+per-depth programs like the single-run loop; the scan fusion applies only
+to input-space methods, as in train_model.  :func:`gang_ineligible_reason`
+reports why a config must fall back to
+:func:`pcgmix_tpu.train.loop.train_model`.
 
 ``times`` in each member's performance dict is the gang's wall-clock (the
 members train concurrently, so that IS each member's elapsed time).
@@ -104,8 +108,11 @@ def gang_ineligible_reason(cfg: TrainConfig) -> Optional[str]:
         return "saliency methods run a model in the planning loop"
     if spec.pairing in ("closestknn", "closestbins"):
         return "latent pairing runs a frozen model in the planning loop"
-    if spec.enabled and (spec.base == "latentmixup" or spec.manifold):
-        return "split-forward depth varies per step (latentmixup/manifold)"
+    # latentmixup/manifold-* ARE gang-eligible: the depth draw
+    # (engine._latent_depth) and the '+p' gate both derive from the
+    # step-seeded RNG protocol, so they are member-uniform — the gang
+    # dispatches the per-depth split-forward step like the single-run loop
+    # (per-step, never scanned)
     return None
 
 
@@ -321,16 +328,51 @@ def train_gang(
             return jax.tree_util.tree_map(jnp.asarray, tree)
 
     enabled = engines[0].enabled
-
-    def member_step(st, idx, rows, plan, epoch, rng):
-        return raw_step(st, {"indices": idx, "rows": rows}, plan, epoch, rng)
-
-    gang_step = jax.jit(
-        jax.vmap(member_step, in_axes=(0, 0, 0, 0 if enabled else None, None, None)),
-        donate_argnums=(0,),
+    # latentmixup/manifold split-forward methods dispatch per step through a
+    # per-depth program (like train_model's latent_steps dict); the depth
+    # draw and '+p' gate are step-seeded, hence member-uniform
+    latent_mode = enabled and (
+        engines[0].spec.base == "latentmixup" or engines[0].spec.manifold
     )
 
-    scan_k = cfg0.steps_per_dispatch
+    def _vmapped(raw, with_plan):
+        def member_step(st, idx, rows, plan, epoch, rng):
+            return raw(st, {"indices": idx, "rows": rows}, plan, epoch, rng)
+
+        return jax.jit(
+            jax.vmap(
+                member_step,
+                in_axes=(0, 0, 0, 0 if with_plan else None, None, None),
+            ),
+            donate_argnums=(0,),
+        )
+
+    # in latent_mode the input-space raw_step is never dispatched (per-depth
+    # split-forward steps and the plain gated step replace it)
+    gang_step = None if latent_mode else _vmapped(raw_step, enabled)
+    latent_vsteps: dict = {}  # depth → vmapped per-depth split-forward step
+
+    def latent_vstep(depth):
+        if depth not in latent_vsteps:
+            raw_l = make_train_step(
+                model, tx, selc_es=selc_es, engine=engines[0],
+                latent_depth=depth, manifold=engines[0].spec.manifold,
+                model_eval=model_eval,
+                train_data=base_data, train_labels=base_labels,
+            )._raw_step
+            latent_vsteps[depth] = _vmapped(raw_l, True)
+        return latent_vsteps[depth]
+
+    gang_step_plain = None
+    if latent_mode:
+        # gated-off '+p' steps train plain (train_model uses step_plain)
+        raw_plain = make_train_step(
+            model, tx, selc_es=selc_es,
+            train_data=base_data, train_labels=base_labels,
+        )._raw_step
+        gang_step_plain = _vmapped(raw_plain, False)
+
+    scan_k = cfg0.steps_per_dispatch if not latent_mode else 1
     gang_multi = None
     if scan_k > 1:
         def member_multi(st, idx_seq, rows_seq, plan_seq, sids, epoch, rng):
@@ -425,28 +467,59 @@ def train_gang(
 
         for _ in range(steps_per_epoch):
             batches = [next(it) for it in iters]
-            buf_idx.append(np.stack([b["indices"] for b in batches]))  # (S, B)
-            buf_rows.append(
-                np.stack(
-                    [rows[b["indices"]]
-                     for rows, b in zip(member_rows, batches)]
-                )
+            idx_s = np.stack([b["indices"] for b in batches])  # (S, B)
+            rows_s = np.stack(
+                [rows[b["indices"]] for rows, b in zip(member_rows, batches)]
             )
-            if enabled:
-                buf_plans.append(
-                    _stack_trees(
-                        [
-                            eng.plan_arrays_or_identity(
-                                step_count, b["frames"], b["label"], b["wav"]
-                            )[0]
-                            for eng, b in zip(engines, batches)
-                        ]
+            if latent_mode:
+                plans = [
+                    eng.plan(step_count, b["frames"], b["label"], b["wav"])
+                    for eng, b in zip(engines, batches)
+                ]
+                shapes = {
+                    (p is not None, p.latent_depth if p is not None else None)
+                    for p in plans
+                }
+                if len(shapes) != 1:
+                    # the step-seeded protocol makes the gate/depth draws
+                    # member-uniform; a mix would need per-member programs
+                    raise RuntimeError(
+                        f"step {step_count}: gang members disagree on the "
+                        f"latent gate/depth ({shapes}) — protocol violation"
                     )
-                )
-            buf_sids.append(step_count)
+                rng = jax.random.fold_in(base_key, step_count)
+                if plans[0] is None:
+                    state, out = gang_step_plain(
+                        state, put(idx_s), put(rows_s), None, epoch, rng
+                    )
+                else:
+                    arrays = _stack_trees([p.arrays for p in plans])
+                    state, out = latent_vstep(plans[0].latent_depth)(
+                        state, put(idx_s), put(rows_s), put(arrays),
+                        epoch, rng,
+                    )
+                epoch_losses.append(out["loss"][:, None])
+                epoch_preds.append(out["preds"][:, None])
+                epoch_targets.append(out["target"][:, None])
+            else:
+                buf_idx.append(idx_s)
+                buf_rows.append(rows_s)
+                if enabled:
+                    buf_plans.append(
+                        _stack_trees(
+                            [
+                                eng.plan_arrays_or_identity(
+                                    step_count, b["frames"], b["label"],
+                                    b["wav"],
+                                )[0]
+                                for eng, b in zip(engines, batches)
+                            ]
+                        )
+                    )
+                buf_sids.append(step_count)
             lr_per_step.append(float(lr_table[step_count]))
             step_count += 1
-            if len(buf_idx) == max(scan_k, 1):
+            if not latent_mode and len(buf_idx) == max(scan_k, 1):
                 flush(len(buf_idx))
             if step_count >= num_steps:
                 done = True

@@ -1,0 +1,213 @@
+"""Gang-training A/B on the real chip: S seed-grid members trained
+sequentially (shared compiled step — already better than the reference,
+which recompiles nothing but runs runs back-to-back) vs one vmapped gang
+program (pcgmix_tpu/train/gang.py).
+
+Discipline (BENCH.md): ONE process, interleaved control re-runs, best-of
+windows; the tunnel's effective rate swings 2-4x across processes.
+
+Production fast config: bf16 + 8-step scan dispatch.  The gang path runs
+the XLA mix (vmap of the Pallas kernels is not wired); the sequential arm
+is measured both pallas-off (isolates the ganging effect) and pallas-on
+(the shipping config).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BATCH, SIG_LEN, CHANNELS = 64, 2500, 4
+SCAN_K = 8
+METHOD = "durmixmagwarp(0.2,4)"
+STEPS = 48  # per member per window
+
+
+def build(use_pallas: bool, gang_s: int | None):
+    """Returns (run_window(start)->samples, state_holder) for one arm."""
+    import jax
+    import jax.numpy as jnp
+
+    from pcgmix_tpu.augment.engine import AugmentConfig, AugmentEngine
+    from pcgmix_tpu.data import EpochIterator, physionet_split, synthetic_physionet_dict
+    from pcgmix_tpu.models import build_model
+    from pcgmix_tpu.train.losses import init_selc_table
+    from pcgmix_tpu.train.steps import (
+        TrainState, make_multi_step, make_optimizer, make_train_step,
+    )
+
+    n_wavs = max(8, int(np.ceil((STEPS + 8) * BATCH / 8 * 1.15)))
+    dataset = synthetic_physionet_dict(
+        num_wavs_train=n_wavs, num_wavs_test=2, segments_per_wav=8,
+        sig_len=SIG_LEN, seed=0,
+    )
+    train_ds = physionet_split(dataset, "train", train_balance=False)
+
+    model = build_model("resnet9", train=True, compute_dtype=jnp.bfloat16)
+    tx = make_optimizer("adam", 0.01, 1e-4, 0.1, 10_000, use_sched=True)
+    variables = model.init(
+        jax.random.PRNGKey(4), jnp.zeros((1, CHANNELS, SIG_LEN), jnp.float32)
+    )
+
+    def fresh_state():
+        return TrainState(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(variables["params"]),
+            soft_labels=init_selc_table(train_ds.label, 2),
+            step=jnp.asarray(0, jnp.int32),
+        )
+
+    def make_engine():
+        return AugmentEngine(
+            AugmentConfig(
+                method=METHOD, batch_size=BATCH, num_channels=CHANNELS,
+                sig_len=SIG_LEN, model="resnet9", use_pallas=use_pallas,
+            )
+        )
+
+    train_data = jnp.asarray(train_ds.data)
+    train_labels = jnp.asarray(train_ds.label)
+    key = jax.random.PRNGKey(0)
+
+    if gang_s is None:
+        engine = make_engine()
+        step = make_train_step(
+            model, tx, selc_es=999, engine=engine,
+            train_data=train_data, train_labels=train_labels,
+        )
+        multi = make_multi_step(step)
+        state = {"v": fresh_state()}
+
+        def run_window(start):
+            it = EpochIterator(train_ds, BATCH, seed=1, step_count=start,
+                               parity="numpy", materialize_data=False)
+            buf_i, buf_p, buf_s = [], [], []
+            executed = 0
+            for count, batch in enumerate(it):
+                sc = start + count
+                arr, _ = engine.plan_arrays_or_identity(
+                    sc, batch["frames"], batch["label"], batch["wav"]
+                )
+                buf_i.append(batch["indices"]); buf_p.append(arr); buf_s.append(sc)
+                if len(buf_i) == SCAN_K:
+                    stacked = jax.tree_util.tree_map(
+                        lambda *xs: np.stack([np.asarray(x) for x in xs]), *buf_p
+                    )
+                    state["v"], _ = multi(
+                        state["v"], jnp.asarray(np.stack(buf_i)), stacked,
+                        jnp.asarray(buf_s), 1, key,
+                    )
+                    buf_i, buf_p, buf_s = [], [], []
+                    executed += SCAN_K
+                if count + 1 >= STEPS:
+                    break
+            jax.block_until_ready(state["v"].params)
+            return executed * BATCH
+
+        return run_window
+
+    # gang arm: vmapped scan over gang_s members (gang.py program shape)
+    engines = [make_engine() for _ in range(gang_s)]
+    raw = make_train_step(
+        model, tx, selc_es=999, engine=engines[0],
+        train_data=train_data, train_labels=train_labels,
+    )._raw_step
+
+    def member_multi(st, idx_seq, plan_seq, sids, epoch, rng):
+        def body(s, xs):
+            idx, plan, sid = xs
+            return raw(s, {"indices": idx}, plan, epoch,
+                       jax.random.fold_in(rng, sid))
+        return jax.lax.scan(body, st, (idx_seq, plan_seq, sids))
+
+    gang_multi = jax.jit(
+        jax.vmap(member_multi, in_axes=(0, 0, 0, None, None, None)),
+        donate_argnums=(0,),
+    )
+    s0 = fresh_state()
+    state = {
+        "v": jax.tree_util.tree_map(
+            lambda x: jnp.repeat(jnp.asarray(x)[None], gang_s, axis=0), s0
+        )
+    }
+
+    def run_window(start):
+        its = [
+            iter(EpochIterator(train_ds, BATCH, seed=1 + s, step_count=start,
+                               parity="numpy", materialize_data=False))
+            for s in range(gang_s)
+        ]
+        buf_i, buf_p, buf_s = [], [], []
+        executed = 0
+        for count in range(STEPS):
+            sc = start + count
+            batches = [next(it) for it in its]
+            buf_i.append(np.stack([b["indices"] for b in batches]))
+            plans = [
+                eng.plan_arrays_or_identity(
+                    sc, b["frames"], b["label"], b["wav"]
+                )[0]
+                for eng, b in zip(engines, batches)
+            ]
+            buf_p.append(jax.tree_util.tree_map(
+                lambda *xs: np.stack([np.asarray(x) for x in xs]), *plans
+            ))
+            buf_s.append(sc)
+            if len(buf_i) == SCAN_K:
+                stacked = jax.tree_util.tree_map(
+                    lambda *xs: np.stack([np.asarray(x) for x in xs], axis=1),
+                    *buf_p,
+                )
+                state["v"], _ = gang_multi(
+                    state["v"], jnp.asarray(np.stack(buf_i, axis=1)), stacked,
+                    jnp.asarray(buf_s), 1, key,
+                )
+                buf_i, buf_p, buf_s = [], [], []
+                executed += SCAN_K
+        jax.block_until_ready(state["v"].params)
+        return executed * BATCH * gang_s
+
+    return run_window
+
+
+def measure(run_window, reps=3):
+    run_window(0)  # compile + warm
+    rates = []
+    for rep in range(reps):
+        t0 = time.time()
+        n = run_window(8 + rep * STEPS)
+        rates.append(n / (time.time() - t0))
+    return rates
+
+
+def main():
+    gang_sizes = [int(x) for x in (sys.argv[1:] or ["4", "8"])]
+    results = {}
+    seq = build(use_pallas=False, gang_s=None)
+    results["seq_pallas_off"] = measure(seq)
+    for s in gang_sizes:
+        g = build(use_pallas=False, gang_s=s)
+        results[f"gang_{s}"] = measure(g)
+        # interleaved control: has the tunnel drifted?
+        results[f"seq_control_after_gang_{s}"] = measure(seq, reps=2)
+    seq_p = build(use_pallas=True, gang_s=None)
+    results["seq_pallas_on"] = measure(seq_p)
+
+    out = {}
+    base = float(np.median(results["seq_pallas_off"]))
+    for k, v in results.items():
+        out[k] = {
+            "samples_per_s": [round(float(x)) for x in v],
+            "median": round(float(np.median(v))),
+        }
+        if k.startswith("gang_"):
+            out[k]["speedup_vs_seq"] = round(float(np.median(v)) / base, 2)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

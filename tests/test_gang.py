@@ -140,6 +140,30 @@ def test_gang_mesh_matches_single_device(tiny_dataset, seed_datas):
     _assert_member_parity(meshed, plain)
 
 
+def test_gang_latentmixup_matches_single_runs(tiny_dataset, seed_datas):
+    """Split-forward methods gang per-step through per-depth programs."""
+    cfgs = _members(seed_datas[:2], method="latentmixup", num_epochs=2)
+    gang = train_gang(cfgs, tiny_dataset)
+    singles = [train_model(c, tiny_dataset) for c in cfgs]
+    _assert_member_parity(gang, singles)
+
+
+def test_gang_manifold_matches_single_runs(tiny_dataset, seed_datas):
+    cfgs = _members(seed_datas[:2], method="manifold-cutmix", num_epochs=2)
+    gang = train_gang(cfgs, tiny_dataset)
+    singles = [train_model(c, tiny_dataset) for c in cfgs]
+    _assert_member_parity(gang, singles)
+
+
+def test_gang_gated_latentmixup_runs(tiny_dataset, seed_datas):
+    """'+p' gating on a latent method: gated-off steps dispatch the plain
+    step; the gate draw is member-uniform (step-seeded protocol)."""
+    cfgs = _members(seed_datas[:2], method="latentmixup+0.5", num_epochs=2)
+    gang = train_gang(cfgs, tiny_dataset)
+    singles = [train_model(c, tiny_dataset) for c in cfgs]
+    _assert_member_parity(gang, singles)
+
+
 def test_gang_varying_seed_allowed(tiny_dataset):
     """Members may also differ in the epoch-shuffle seed."""
     cfgs = [_cfg(seed=1, num_epochs=2), _cfg(seed=2, num_epochs=2)]
@@ -197,16 +221,16 @@ def test_gang_rejects_mixed_configs(tiny_dataset, seed_datas):
 
 def test_gang_rejects_ineligible_method(tiny_dataset):
     with pytest.raises(ValueError, match="not gang-eligible"):
-        train_gang([_cfg(method="latentmixup")], tiny_dataset)
+        train_gang([_cfg(method="lc-nointrusion")], tiny_dataset)
 
 
 def test_ineligible_reasons():
     assert gang_ineligible_reason(_cfg()) is None
     assert gang_ineligible_reason(_cfg(method="durratiomixup")) is None
     assert gang_ineligible_reason(_cfg(method="SELCbase")) is None
+    assert gang_ineligible_reason(_cfg(method="latentmixup")) is None
+    assert gang_ineligible_reason(_cfg(method="manifold-cutmix")) is None
     for bad in (
-        _cfg(method="latentmixup"),
-        _cfg(method="manifold-cutmix"),
         _cfg(method="lc-nointrusion"),
         _cfg(method="saliency-cutmix"),
         _cfg(method="(saloptenv-1)durratiomixup"),
