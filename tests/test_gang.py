@@ -55,7 +55,8 @@ def _members(seed_datas, **kw):
     return [_cfg(seed_data=sd, **kw) for sd in seed_datas]
 
 
-def _assert_member_parity(gang_perfs, single_perfs, loss_rtol=1e-2):
+def _assert_member_parity(gang_perfs, single_perfs, loss_rtol=1e-2,
+                          loss_atol=1e-4):
     """Gang vs single runs match modulo float reassociation: the vmapped
     program batches the convs/reductions differently, so per-step rounding
     differs at ~1e-7 and Adam amplifies it on small-gradient parameters
@@ -73,10 +74,10 @@ def _assert_member_parity(gang_perfs, single_perfs, loss_rtol=1e-2):
     """
     for g, s in zip(gang_perfs, single_perfs):
         np.testing.assert_allclose(
-            g["train_loss"], s["train_loss"], rtol=loss_rtol, atol=1e-4
+            g["train_loss"], s["train_loss"], rtol=loss_rtol, atol=loss_atol
         )
         np.testing.assert_allclose(
-            g["test_loss"], s["test_loss"], rtol=loss_rtol, atol=1e-4
+            g["test_loss"], s["test_loss"], rtol=loss_rtol, atol=loss_atol
         )
         np.testing.assert_allclose(
             g["test_accuracy"], s["test_accuracy"], atol=13.0
@@ -162,6 +163,28 @@ def test_gang_gated_latentmixup_runs(tiny_dataset, seed_datas):
     gang = train_gang(cfgs, tiny_dataset)
     singles = [train_model(c, tiny_dataset) for c in cfgs]
     _assert_member_parity(gang, singles)
+
+
+def test_gang_2d_spectrogram_matches_single_runs():
+    """2-D (spectrogram) gang: same machinery, channelled from_dict base."""
+    from pcgmix_tpu.data import synthetic_spectrogram_dict
+
+    ds = synthetic_spectrogram_dict(num_wavs_train=16, num_wavs_test=6, size=32)
+    cfgs = [
+        TrainConfig(
+            dataset="PhysioNet(spec128)", model="resnet9",
+            method="durratiomixup", num_epochs=2, batch_size=8,
+            n_fraction=0.5, seed_data=sd, save_artifacts=False,
+            loader_parity="numpy",
+        )
+        for sd in (1100001, 1100002)
+    ]
+    gang = train_gang(cfgs, ds)
+    singles = [train_model(c, ds) for c in cfgs]
+    # the 2-D ResNet9 amplifies reassociation noise faster (small spatial
+    # BN reductions + Adam near eps): measured 3.6% by epoch 2; the
+    # discriminative nearest-own-trajectory check still binds members
+    _assert_member_parity(gang, singles, loss_rtol=8e-2, loss_atol=1e-2)
 
 
 def test_gang_varying_seed_allowed(tiny_dataset):
