@@ -155,15 +155,25 @@ def run_grid(
 
     for group in group_gangable(pending, dataset):
         if len(group) >= 2:
+            # the member axis only shards when the gang divides evenly;
+            # otherwise run the gang unsharded rather than abort the grid
+            n_dev = (
+                gang_devices
+                if gang_devices and len(group) % gang_devices == 0
+                else None
+            )
             if progress:
+                note = (
+                    "" if n_dev == gang_devices or not gang_devices
+                    else f" (size {len(group)} not divisible by "
+                         f"{gang_devices} devices — running unsharded)"
+                )
                 print(
                     f"gang of {len(group)}: {group[0].method} "
                     f"nfrac={group[0].n_fraction} "
-                    f"seed_datas={[c.seed_data for c in group]}"
+                    f"seed_datas={[c.seed_data for c in group]}{note}"
                 )
-            train_gang(
-                group, dataset, n_devices=gang_devices, progress=progress
-            )
+            train_gang(group, dataset, n_devices=n_dev, progress=progress)
             executed.extend(group)
         else:
             run_one(group[0])

@@ -67,13 +67,16 @@ from pcgmix_tpu.train.loop import (
     TrainConfig,
     build_splits,
     _selc_turnpoint,
-    evaluate,
     init_state,
     save_checkpoint,
     stage_eval,
 )
 from pcgmix_tpu.train.losses import init_selc_table
-from pcgmix_tpu.train.metrics import PerformanceTracker, segment_accuracy
+from pcgmix_tpu.train.metrics import (
+    PerformanceTracker,
+    recording_level_eval,
+    segment_accuracy,
+)
 from pcgmix_tpu.train.steps import make_eval_step, make_optimizer, make_train_step
 
 # config fields allowed to differ between gang members: seed_data selects the
@@ -132,6 +135,30 @@ def _validate_members(cfgs: list[TrainConfig]) -> None:
             )
 
 
+def _light_dataset(dataset: dict) -> dict:
+    """A zero-sample-axis copy for split-selection-only work: the grouping
+    key needs split LENGTHS and test identity, not the sample tensors, so
+    slice every data array to time-length 0 — the selection pipeline
+    (sig_qual filter, balance, n_fraction, folds) reads only
+    wav/label/sig_qual and take()s the data along axis 0."""
+
+    def light(d):
+        out = dict(d)
+        data = d["data"]
+        if isinstance(data, dict):
+            out["data"] = {b: np.asarray(v)[..., :0] for b, v in data.items()}
+        else:
+            out["data"] = np.asarray(data)[..., :0]
+        return out
+
+    if "train" in dataset and "test" in dataset:
+        return {
+            k: (light(v) if k in ("train", "test") else v)
+            for k, v in dataset.items()
+        }
+    return light(dataset)
+
+
 def group_gangable(cfgs: list[TrainConfig], dataset: dict) -> list[list[TrainConfig]]:
     """Bucket configs into gangs that can train as one program.
 
@@ -146,6 +173,7 @@ def group_gangable(cfgs: list[TrainConfig], dataset: dict) -> list[list[TrainCon
     """
     groups: dict = {}
     order: list = []
+    light = _light_dataset(dataset)  # selection logic without tensor copies
     for cfg in cfgs:
         if gang_ineligible_reason(cfg) is not None:
             key = ("ineligible", id(cfg))
@@ -153,7 +181,7 @@ def group_gangable(cfgs: list[TrainConfig], dataset: dict) -> list[list[TrainCon
             d = dataclasses.asdict(cfg)
             for f in _MEMBER_FIELDS:
                 d.pop(f)
-            tr, te = build_splits(cfg, dataset)
+            tr, te = build_splits(cfg, light)
             key = (repr(sorted(d.items(), key=lambda kv: kv[0])),
                    len(tr), tuple(te.wav), tuple(te.label.tolist()))
         if key not in groups:
@@ -165,15 +193,26 @@ def group_gangable(cfgs: list[TrainConfig], dataset: dict) -> list[list[TrainCon
 
 def _base_train_dataset(cfg: TrainConfig, dataset: dict) -> ArrayDataset:
     """The shared from_dict base every member split's ``rows`` index into
-    (physionet_split/umc_split build from this exact call before take())."""
+    (physionet_split/umc_split build from this exact call before take());
+    train_gang asserts base.label[rows] == split.label per member, so any
+    future split-level transform drift fails loudly instead of training on
+    wrong targets."""
     if cfg.dataset.startswith("PhysioNet"):
         return ArrayDataset.from_dict(
             dataset["train"], cfg.num_channels, False, cfg.spectrogram
         )
     if cfg.dataset.startswith("UMC"):
-        return ArrayDataset.from_dict(
+        ds = ArrayDataset.from_dict(
             dataset, cfg.num_channels, False, cfg.spectrogram
         )
+        # umc_split rewrites labels IN PLACE right after from_dict — the
+        # rekomp=0/dekomp=1 class swap (pcgmix_tpu/data/umc.py:60,
+        # dataloader_umc.py:42); the shared base must carry the same labels
+        # or gathered one-hot targets would be class-inverted
+        ds.label = np.where(
+            (ds.label == 0) | (ds.label == 1), ds.label ^ 1, ds.label
+        )
+        return ds
     raise ValueError(f"unknown dataset {cfg.dataset!r}")
 
 
@@ -201,7 +240,12 @@ def train_gang(
     (metrics equal up to vmap-batched float reassociation).
 
     n_devices > 1 shards the member axis over a device mesh (zero-collective
-    seed parallelism); len(cfgs) must divide evenly.
+    seed parallelism); len(cfgs) must divide evenly.  Note
+    ``TrainConfig.n_devices`` (train_model's batch-axis data parallelism)
+    does NOT apply inside a gang — the member axis is the parallel
+    dimension here, controlled solely by this argument (the runner's
+    ``--gang-devices``); batch-DP composes with vmap only as nested
+    sharding, which these ≤9M-parameter models cannot use profitably.
     """
     if not cfgs:
         raise ValueError("empty gang")
@@ -285,9 +329,24 @@ def train_gang(
 
     engines = [make_engine(cfg) for cfg in cfgs]
     base_ds = _base_train_dataset(cfg0, dataset)
+    member_rows = [np.asarray(tr.rows, np.int64) for tr in train_sets]
+    for cfg, tr, rows in zip(cfgs, train_sets, member_rows):
+        # provenance integrity: the device step gathers data/targets from
+        # the shared base by rows — if a split-level transform (label swap,
+        # normalization, channel edit) diverged from the base rebuild, the
+        # members would silently train on wrong tensors
+        if not np.array_equal(base_ds.label[rows], tr.label):
+            raise AssertionError(
+                f"base/split label mismatch for seed_data={cfg.seed_data} "
+                f"(split-level transform not mirrored in _base_train_dataset)"
+            )
+        li = np.arange(len(rows))[:: max(1, len(rows) // 8)][:8]
+        if not np.array_equal(base_ds.data[rows[li]], tr.data[li]):
+            raise AssertionError(
+                f"base/split data mismatch for seed_data={cfg.seed_data}"
+            )
     base_data = jnp.asarray(base_ds.data)
     base_labels = jnp.asarray(base_ds.label)
-    member_rows = [np.asarray(tr.rows, np.int64) for tr in train_sets]
 
     selc_es = _selc_turnpoint(cfg0)
     raw_step = make_train_step(
@@ -393,7 +452,11 @@ def train_gang(
             donate_argnums=(0,),
         )
 
+    # one dispatch evaluates ALL members: vmap the eval step over the
+    # stacked params/batch_stats, eval batches shared (the test split is
+    # identical across members by validation above)
     eval_step = make_eval_step(model_eval)
+    gang_eval_step = jax.jit(jax.vmap(eval_step, in_axes=(0, 0, None, None)))
     if cfg0.use_sched:
         from pcgmix_tpu.train.schedule import onecycle_lr
 
@@ -553,6 +616,10 @@ def train_gang(
                 eval_staged = stage_eval(
                     test_ds, cfg0.eval_batch_size, cfg0.num_classes
                 )
+            eval_out = jax.device_get([
+                gang_eval_step(state.params, state.batch_stats, d, t)
+                for d, t, _ in eval_staged
+            ])  # per staged batch: probs (S, Bev, C), losses (S, Bev)
             for s, (cfg, perf) in enumerate(zip(cfgs, perfs)):
                 perf.add("epochs", epoch)
                 perf.add("steps", step_count)
@@ -561,11 +628,23 @@ def train_gang(
                     "train_accuracy",
                     segment_accuracy(preds_np[s], targets_np[s]),
                 )
-                member_state = jax.tree_util.tree_map(lambda x: x[s], state)
-                evaluate(
-                    cfg, eval_step, member_state, test_ds, perf,
-                    engines[0].spec.class_majority, staged=eval_staged,
+                # recording-level test metrics (mirrors loop.evaluate's
+                # host aggregation, train_model.py:591-670)
+                probs_all, loss_sum, labels, wavs, n = [], 0.0, [], [], 0
+                for (probs, losses), (_, _, batch) in zip(eval_out, eval_staged):
+                    mask = batch["mask"]
+                    probs_all.append(probs[s][mask])
+                    loss_sum += float(losses[s][mask].sum())
+                    labels.append(batch["label"][mask])
+                    wavs.append(batch["wav"][mask])
+                    n += int(mask.sum())
+                metrics = recording_level_eval(
+                    np.concatenate(probs_all), np.concatenate(labels),
+                    np.concatenate(wavs), engines[0].spec.class_majority,
                 )
+                perf.add("test_loss", loss_sum / max(n, 1))
+                for k, v in metrics.items():
+                    perf.add(k, v)
                 perf.add("times", float(np.sum(times)))
                 if run_dirs[s]:
                     utils.save_dict(

@@ -187,6 +187,58 @@ def test_gang_2d_spectrogram_matches_single_runs():
     _assert_member_parity(gang, singles, loss_rtol=8e-2, loss_atol=1e-2)
 
 
+def test_gang_umc_sgd_tight_parity():
+    """UMC gang (members differ in epoch-shuffle seed; the patient fold is
+    keyed by seed_data, so train/test splits are shared).  Regression for
+    the base-label class swap: umc_split rewrites labels to rekomp=0/
+    dekomp=1 after from_dict — the shared gang base must mirror it or every
+    member trains on inverted targets (train_gang asserts this now).
+
+    Uses plain SGD: without Adam's ~eps-denominator amplification the gang
+    must match singles to float-rounding level over 48 steps (measured
+    5e-7), making this the SHARP semantic check the Adam tests can't be."""
+    from pcgmix_tpu.data.synthetic import synthetic_umc_dict
+
+    ds = synthetic_umc_dict(segments_per_patient=3, sig_len=512)
+    cfgs = [
+        TrainConfig(
+            dataset="UMC", model="resnet9-5k", method="durratiomixup",
+            num_epochs=2, batch_size=8, seed_data=1, seed=s, sig_len=512,
+            op="SGD", use_sched=False, save_artifacts=False,
+            loader_parity="numpy",
+        )
+        for s in (1, 2)
+    ]
+    gang = train_gang(cfgs, ds)
+    singles = [train_model(c, ds) for c in cfgs]
+    for g, s in zip(gang, singles):
+        # 48 steps compound per-step rounding to ~3e-4 even under SGD;
+        # inverted labels would diverge by ~100% from step 1
+        np.testing.assert_allclose(
+            g["train_loss"], s["train_loss"], rtol=1e-3, atol=1e-6
+        )
+        # test_loss flows through the BN running-stat EMA and is measured
+        # chaos-amplified to ~11% near convergence (gang-of-1 reproduces
+        # it, so it is program-pair rounding, not a member bug)
+        np.testing.assert_allclose(
+            g["test_loss"], s["test_loss"], rtol=2e-1, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            g["test_accuracy"], s["test_accuracy"], atol=13.0
+        )
+
+
+def test_gang_sgd_tight_parity(tiny_dataset, seed_datas):
+    """1-D SGD gang vs singles at float-rounding tolerance (see the UMC
+    test's rationale): the sharp end-to-end check that gathers, plans,
+    SELC indices and RNG are exactly the standalone runs'."""
+    cfgs = _members(seed_datas[:3], method="durmixmagwarp(0.2,4)",
+                    op="SGD", use_sched=False)
+    gang = train_gang(cfgs, tiny_dataset)
+    singles = [train_model(c, tiny_dataset) for c in cfgs]
+    _assert_member_parity(gang, singles, loss_rtol=1e-4, loss_atol=1e-6)
+
+
 def test_gang_varying_seed_allowed(tiny_dataset):
     """Members may also differ in the epoch-shuffle seed."""
     cfgs = [_cfg(seed=1, num_epochs=2), _cfg(seed=2, num_epochs=2)]
