@@ -102,8 +102,6 @@ def gang_ineligible_reason(cfg: TrainConfig) -> Optional[str]:
         return "latent_space dumps need host-side batch tensors"
     if cfg.track_variability:
         return "variability tracking reads per-member host batches"
-    if cfg.checkpoint_every:
-        return "periodic checkpoint/resume is not wired for stacked states"
     spec = parse_method(cfg.method, spectrogram=cfg.spectrogram)
     if spec.base in ("lc-nointrusion", "saliency-cutmix"):
         return f"{spec.base} changes the batch row count in-loop"
@@ -477,11 +475,44 @@ def train_gang(
     base_key = jax.random.PRNGKey(cfg0.seed_fix)
     eval_staged = None
     step_count = 0
+    start_epoch = 1
     times: list[float] = []
     lr_per_step: list[float] = []
     done = False
 
-    for epoch in range(1, cfg0.num_epochs + 1):
+    # periodic full-state checkpoint of the STACKED state (crash recovery,
+    # loop.py:400-417 contract): one checkpoint for the whole gang, keyed by
+    # the member run dirs so the same cfg list resumes it
+    ckpt_mgr = None
+    if cfg0.checkpoint_every and all(d is not None for d in run_dirs):
+        import hashlib
+
+        from pcgmix_tpu.train.checkpoint import CheckpointManager
+
+        digest = hashlib.sha1(
+            "\n".join(run_dirs).encode()
+        ).hexdigest()[:16]
+        ckpt_mgr = CheckpointManager(
+            os.path.join(
+                cfg0.experiments_root, ".gang_checkpoints", digest
+            )
+        )
+        if ckpt_mgr.latest_step() is not None:
+            state, restored_step = ckpt_mgr.restore(state)
+            step_count = restored_step
+            start_epoch = step_count // steps_per_epoch + 1
+            saved = ckpt_mgr.restore_metrics(restored_step)
+            if saved:
+                for perf, hist in zip(perfs, saved.get("perfs", [])):
+                    for k, v in hist.items():
+                        perf.dict[k] = list(v)
+                times = list(saved.get("times", []))
+                lr_per_step = list(saved.get("lr_per_step", []))
+            if progress:
+                print(f"gang resumed from checkpoint: step {step_count}, "
+                      f"epoch {start_epoch}")
+
+    for epoch in range(start_epoch, cfg0.num_epochs + 1):
         if cfg0.profile_dir and epoch == min(2, cfg0.num_epochs):
             jax.profiler.start_trace(cfg0.profile_dir)
         t0 = time.time()
@@ -673,9 +704,17 @@ def train_gang(
                     f"test_acc mean={np.mean(accs):.2f} "
                     f"min={min(accs):.2f} max={max(accs):.2f}"
                 )
+        if ckpt_mgr is not None and epoch % cfg0.checkpoint_every == 0:
+            ckpt_mgr.save(
+                step_count, state,
+                metrics={"perfs": [p.dict for p in perfs], "times": times,
+                         "lr_per_step": lr_per_step},
+            )
         if done:
             break
 
+    if ckpt_mgr is not None:
+        ckpt_mgr.close()
     for s, (cfg, perf) in enumerate(zip(cfgs, perfs)):
         member_state = jax.tree_util.tree_map(lambda x: x[s], state)
         if run_dirs[s]:

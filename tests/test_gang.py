@@ -287,6 +287,48 @@ def test_runner_gang_mode(tiny_dataset, seed_datas, tmp_path):
     assert ran2 == []
 
 
+def test_gang_checkpoint_resume(tiny_dataset, seed_datas, tmp_path, monkeypatch):
+    """Crash mid-gang → rerun with the same cfg list resumes from the
+    stacked-state orbax checkpoint and finishes identically to an
+    uninterrupted gang (same process, same programs → near-bit-equal)."""
+    import pcgmix_tpu.train.gang as gang_mod
+    from pcgmix_tpu.train.checkpoint import CheckpointManager
+
+    def cfgs(root):
+        return [
+            _cfg(seed_data=sd, num_epochs=3, checkpoint_every=1,
+                 save_artifacts=True, plot=False, experiments_root=root)
+            for sd in seed_datas[:2]
+        ]
+
+    ref = train_gang(cfgs(str(tmp_path / "ref")), tiny_dataset)
+
+    # crash after the epoch-1 checkpoint lands
+    calls = {"n": 0}
+    orig_save = CheckpointManager.save
+
+    def crashing_save(self, step, state, metrics=None):
+        orig_save(self, step, state, metrics)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash")
+
+    monkeypatch.setattr(CheckpointManager, "save", crashing_save)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        train_gang(cfgs(str(tmp_path / "run")), tiny_dataset)
+    monkeypatch.setattr(CheckpointManager, "save", orig_save)
+
+    resumed = train_gang(cfgs(str(tmp_path / "run")), tiny_dataset)
+    for r, f in zip(resumed, ref):
+        np.testing.assert_allclose(r["train_loss"], f["train_loss"], rtol=1e-6)
+        np.testing.assert_allclose(r["test_loss"], f["test_loss"], rtol=1e-6)
+        assert r["epochs"] == f["epochs"]
+    for cfg in cfgs(str(tmp_path / "run")):
+        from pcgmix_tpu.exp.dirs import experiment_dir
+
+        assert os.path.exists(os.path.join(experiment_dir(cfg), "model.msgpack"))
+
+
 def test_gang_rejects_mixed_configs(tiny_dataset, seed_datas):
     cfgs = [_cfg(seed_data=seed_datas[0]), _cfg(seed_data=seed_datas[1],
                                                 batch_size=8)]
@@ -305,6 +347,7 @@ def test_ineligible_reasons():
     assert gang_ineligible_reason(_cfg(method="SELCbase")) is None
     assert gang_ineligible_reason(_cfg(method="latentmixup")) is None
     assert gang_ineligible_reason(_cfg(method="manifold-cutmix")) is None
+    assert gang_ineligible_reason(_cfg(checkpoint_every=2)) is None
     for bad in (
         _cfg(method="lc-nointrusion"),
         _cfg(method="saliency-cutmix"),
@@ -312,7 +355,6 @@ def test_ineligible_reasons():
         _cfg(method="(closestknn=8)durmixmagwarp(0.2,4)"),
         _cfg(classical_space=True),
         _cfg(latent_space=True),
-        _cfg(checkpoint_every=2),
         _cfg(track_variability=True),
     ):
         assert gang_ineligible_reason(bad) is not None
