@@ -29,19 +29,21 @@ durmixmagwarp(0.2,4)'
 # shellcheck disable=SC2086
 set -- $METHODS
 
+# --gang trains each n_fraction's ~10-member seed_data grid as ONE vmapped
+# program (equal-sized subsets group automatically; odd sizes fall back)
 pcgmix-run --dataset-file "$DAT" --model resnet9 \
   --methods "$@" \
   --n-fractions 0.015 0.052 0.1 0.2 0.3 0.4 0.6 0.8 \
   --seeds 1 \
   --num-epochs 50 --batch-size 64 \
-  --compute-dtype bfloat16 --steps-per-dispatch 8
+  --compute-dtype bfloat16 --steps-per-dispatch 8 --gang
 
 pcgmix-run --dataset-file "$DAT" --model resnet9 \
   --methods "$@" \
   --n-fractions 1.0 \
   --seeds 1 2 3 4 5 \
   --num-epochs 50 --batch-size 64 \
-  --compute-dtype bfloat16 --steps-per-dispatch 8
+  --compute-dtype bfloat16 --steps-per-dispatch 8 --gang
 
 pcgmix-results --model resnet9 \
   --methods "$@" \

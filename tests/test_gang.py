@@ -165,6 +165,18 @@ def test_gang_gated_latentmixup_runs(tiny_dataset, seed_datas):
     _assert_member_parity(gang, singles)
 
 
+def test_gang_same_cvd_matches_single_runs(tiny_dataset, seed_datas):
+    """(sameCVD) pairing — the wav→diagnosis map flows through every
+    member's plan engine (augmentations.py:26-28 front-end)."""
+    wavs = sorted(set(tiny_dataset["train"]["wav"]))
+    cvd_map = {w: ["CAD", "MVP", "Benign"][i % 3] for i, w in enumerate(wavs)}
+    cfgs = _members(seed_datas[:2], method="(sameCVD)durratiomixup",
+                    num_epochs=2, cvd_map=cvd_map)
+    gang = train_gang(cfgs, tiny_dataset)
+    singles = [train_model(c, tiny_dataset) for c in cfgs]
+    _assert_member_parity(gang, singles)
+
+
 def test_gang_2d_spectrogram_matches_single_runs():
     """2-D (spectrogram) gang: same machinery, channelled from_dict base."""
     from pcgmix_tpu.data import synthetic_spectrogram_dict
