@@ -15,7 +15,7 @@ S and trains all S grid members simultaneously in one XLA program:
   member's split-local batch indices to shared base rows);
 - the test split is identical across members (PhysioNet mode='test' ignores
   ``seed_data``, dataloader_physionet.py:27-39), so eval tensors are staged
-  once and members are evaluated by slicing the stacked state;
+  once and ONE vmapped dispatch evaluates every member per plot epoch;
 - model init is identical across members (the reference fixes
   ``torch.manual_seed(seed_fix)`` with seed_fix=4 for the whole grid,
   train_model.py:222) — states start equal and diverge through the
