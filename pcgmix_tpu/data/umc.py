@@ -35,6 +35,13 @@ HELDOUT_GROUPS = [
 ALL_PATIENTS = sorted({p for g in HELDOUT_GROUPS for p in g})
 
 
+def swap_umc_labels(labels: np.ndarray) -> np.ndarray:
+    """The rekomp=0/dekomp=1 class swap applied right after from_dict
+    (dataloader_umc.py:42).  Shared by umc_split and the gang trainer's
+    base rebuild (train/gang.py) so the transform cannot drift apart."""
+    return np.where((labels == 0) | (labels == 1), labels ^ 1, labels)
+
+
 def _train_fold(seed_data: int) -> set:
     if seed_data not in range(1, 11):
         raise ValueError(f"seed_data must be in 1..10 (10-fold CV), got {seed_data}")
@@ -57,7 +64,7 @@ def umc_split(
     train/test level — splits are by patient folds)."""
     ds = ArrayDataset.from_dict(dataset, num_channels, classical_space, spectrogram)
     # swap classes to rekomp=0, dekomp=1 (dataloader_umc.py:42)
-    ds.label = np.where((ds.label == 0) | (ds.label == 1), ds.label ^ 1, ds.label)
+    ds.label = swap_umc_labels(ds.label)
     # keep only non-excluded recordings (dataloader_umc.py:48-56)
     ds = ds.take([i for i, ex in enumerate(np.asarray(dataset["excluded"])) if ex == 1])
 

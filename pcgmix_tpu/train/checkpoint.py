@@ -55,6 +55,10 @@ class CheckpointManager:
         with open(path, "rb") as f:
             return pickle.load(f)
 
+    @property
+    def directory(self) -> str:
+        return self._dir
+
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 

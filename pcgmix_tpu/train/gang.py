@@ -65,6 +65,7 @@ from pcgmix_tpu.exp.dirs import experiment_dir
 from pcgmix_tpu.models import build_model
 from pcgmix_tpu.train.loop import (
     TrainConfig,
+    aggregate_recording_eval,
     build_splits,
     _selc_turnpoint,
     init_state,
@@ -72,11 +73,7 @@ from pcgmix_tpu.train.loop import (
     stage_eval,
 )
 from pcgmix_tpu.train.losses import init_selc_table
-from pcgmix_tpu.train.metrics import (
-    PerformanceTracker,
-    recording_level_eval,
-    segment_accuracy,
-)
+from pcgmix_tpu.train.metrics import PerformanceTracker, segment_accuracy
 from pcgmix_tpu.train.steps import make_eval_step, make_optimizer, make_train_step
 
 # config fields allowed to differ between gang members: seed_data selects the
@@ -200,16 +197,15 @@ def _base_train_dataset(cfg: TrainConfig, dataset: dict) -> ArrayDataset:
             dataset["train"], cfg.num_channels, False, cfg.spectrogram
         )
     if cfg.dataset.startswith("UMC"):
+        from pcgmix_tpu.data.umc import swap_umc_labels
+
         ds = ArrayDataset.from_dict(
             dataset, cfg.num_channels, False, cfg.spectrogram
         )
-        # umc_split rewrites labels IN PLACE right after from_dict — the
-        # rekomp=0/dekomp=1 class swap (pcgmix_tpu/data/umc.py:60,
-        # dataloader_umc.py:42); the shared base must carry the same labels
-        # or gathered one-hot targets would be class-inverted
-        ds.label = np.where(
-            (ds.label == 0) | (ds.label == 1), ds.label ^ 1, ds.label
-        )
+        # umc_split rewrites labels right after from_dict — the shared base
+        # must carry the same labels or gathered one-hot targets would be
+        # class-inverted (caught by the provenance assert below)
+        ds.label = swap_umc_labels(ds.label)
         return ds
     raise ValueError(f"unknown dataset {cfg.dataset!r}")
 
@@ -508,6 +504,14 @@ def train_gang(
                         perf.dict[k] = list(v)
                 times = list(saved.get("times", []))
                 lr_per_step = list(saved.get("lr_per_step", []))
+            if step_count and engines[0].enabled:
+                # every gang-eligible method is hook-free: bring each
+                # member engine's cross-step RNG mirrors to where its
+                # uninterrupted run would be (exact resume; replay_plan_rng)
+                from pcgmix_tpu.train.loop import replay_plan_rng
+
+                for eng, tr, cfg in zip(engines, train_sets, cfgs):
+                    replay_plan_rng(eng, tr, cfg, step_count)
             if progress:
                 print(f"gang resumed from checkpoint: step {step_count}, "
                       f"epoch {start_epoch}")
@@ -659,21 +663,11 @@ def train_gang(
                     "train_accuracy",
                     segment_accuracy(preds_np[s], targets_np[s]),
                 )
-                # recording-level test metrics (mirrors loop.evaluate's
-                # host aggregation, train_model.py:591-670)
-                probs_all, loss_sum, labels, wavs, n = [], 0.0, [], [], 0
-                for (probs, losses), (_, _, batch) in zip(eval_out, eval_staged):
-                    mask = batch["mask"]
-                    probs_all.append(probs[s][mask])
-                    loss_sum += float(losses[s][mask].sum())
-                    labels.append(batch["label"][mask])
-                    wavs.append(batch["wav"][mask])
-                    n += int(mask.sum())
-                metrics = recording_level_eval(
-                    np.concatenate(probs_all), np.concatenate(labels),
-                    np.concatenate(wavs), engines[0].spec.class_majority,
+                test_loss, metrics = aggregate_recording_eval(
+                    [(probs[s], losses[s]) for probs, losses in eval_out],
+                    eval_staged, engines[0].spec.class_majority,
                 )
-                perf.add("test_loss", loss_sum / max(n, 1))
+                perf.add("test_loss", test_loss)
                 for k, v in metrics.items():
                     perf.add(k, v)
                 perf.add("times", float(np.sum(times)))
@@ -713,13 +707,28 @@ def train_gang(
         if done:
             break
 
-    if ckpt_mgr is not None:
-        ckpt_mgr.close()
     for s, (cfg, perf) in enumerate(zip(cfgs, perfs)):
         member_state = jax.tree_util.tree_map(lambda x: x[s], state)
         if run_dirs[s]:
             save_checkpoint(
                 os.path.join(run_dirs[s], "model.msgpack"), member_state
             )
+            # idempotent for normal completions; covers the resume-past-end
+            # edge (crash between the final checkpoint and completion),
+            # where no plot epoch runs in the resumed process
+            utils.save_dict(
+                perf.dict, os.path.join(run_dirs[s], "performance.pkl")
+            )
         perf.dict["lr_per_step"] = list(lr_per_step)
+    if ckpt_mgr is not None:
+        # the members' run dirs are now the durable artifacts; a kept gang
+        # checkpoint would make a LATER rerun of the same grid (after the
+        # user deletes the run dirs to retrain) silently "resume" past all
+        # epochs from stale state — and stacked params+opt_state per gang
+        # would accumulate unboundedly
+        import shutil
+
+        ckpt_dir = ckpt_mgr.directory
+        ckpt_mgr.close()
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
     return [perf.dict for perf in perfs]

@@ -412,6 +412,11 @@ def train_model(
                     perf.dict[k] = list(v)
                 times = list(saved.get("times", []))
                 lr_per_step = list(saved.get("lr_per_step", []))
+            if step_count and _engine_rng_replayable(engine):
+                # bring the fresh engine's cross-step RNG mirrors to where
+                # the uninterrupted run's engine would be (exact resume for
+                # the stream-consuming handlers; see replay_plan_rng)
+                replay_plan_rng(engine, train_ds, cfg, step_count)
             if progress:
                 print(f"resumed from checkpoint: step {step_count}, "
                       f"epoch {start_epoch}")
@@ -750,6 +755,68 @@ def stage_eval(test_ds, eval_batch_size, num_classes, device_put=None):
     ]
 
 
+def replay_plan_rng(engine, train_ds, cfg, num_past_steps: int) -> None:
+    """Advance a fresh AugmentEngine's stateful RNG mirrors (np_stream /
+    noise key) to the state an uninterrupted run would have after
+    ``num_past_steps`` training steps, by rebuilding those steps' plans
+    host-side (~1 ms/step) without dispatching any compute.
+
+    Needed on checkpoint resume: handlers like magnitudewarp/timewarp/
+    gaussiannoise draw from the per-run mirror stream that ADVANCES across
+    steps (engine.py np_stream), so a resumed run with a fresh engine would
+    otherwise build different post-resume plans than the uninterrupted run.
+    Only valid for engines whose plans need no model in the loop —
+    model-hook methods' RNG trajectories depend on past model states, which
+    a checkpoint cannot reproduce (disclosed in PARITY.md)."""
+    step = 0
+    while step < num_past_steps:
+        it = EpochIterator(
+            train_ds, cfg.batch_size, cfg.seed, step, cfg.loader_parity,
+            materialize_data=False,
+        )
+        advanced = False
+        for batch in it:
+            engine.plan(step, batch["frames"], batch["label"], batch["wav"])
+            step += 1
+            advanced = True
+            if step >= num_past_steps:
+                break
+        if not advanced:  # split smaller than one batch — cannot happen in
+            break         # a run that took steps, but never loop forever
+
+
+def _engine_rng_replayable(engine) -> bool:
+    """Plans rebuildable without model hooks (see replay_plan_rng)."""
+    return engine.enabled and not (
+        engine.needs_pretrained_saliency
+        or engine.needs_latent_model
+        or engine.spec.base in ("lc-nointrusion", "saliency-cutmix")
+    )
+
+
+def aggregate_recording_eval(device_out, staged, class_majority=False):
+    """Host aggregation of eval-step outputs → (test_loss, metrics dict).
+
+    ``device_out`` — one (probs, losses) host pair per staged batch, padded
+    rows masked out via the staged batch's validity mask.  Shared by
+    :func:`evaluate` and the gang trainer's vmapped eval (train/gang.py) so
+    the recording-level aggregation cannot drift between the two paths
+    (test_data_accuracy, train_model.py:591-670)."""
+    probs_all, loss_sum, labels, wavs, n = [], 0.0, [], [], 0
+    for (probs, losses), (_, _, batch) in zip(device_out, staged):
+        mask = batch["mask"]
+        probs_all.append(probs[mask])
+        loss_sum += float(losses[mask].sum())
+        labels.append(batch["label"][mask])
+        wavs.append(batch["wav"][mask])
+        n += int(mask.sum())
+    metrics = recording_level_eval(
+        np.concatenate(probs_all), np.concatenate(labels),
+        np.concatenate(wavs), class_majority,
+    )
+    return loss_sum / max(n, 1), metrics
+
+
 def evaluate(cfg, eval_step, state, test_ds, perf, class_majority=False,
              staged=None):
     """Recording-level test pass (test_data_accuracy, train_model.py:591-670).
@@ -763,19 +830,10 @@ def evaluate(cfg, eval_step, state, test_ds, perf, class_majority=False,
         for data_dev, target_dev, _ in staged
     ]
     device_out = jax.device_get(device_out)  # one transfer for all batches
-    probs_all, loss_sum, labels, wavs, n = [], 0.0, [], [], 0
-    for (probs, losses), (_, _, batch) in zip(device_out, staged):
-        mask = batch["mask"]
-        probs_all.append(probs[mask])
-        loss_sum += float(losses[mask].sum())
-        labels.append(batch["label"][mask])
-        wavs.append(batch["wav"][mask])
-        n += int(mask.sum())
-    probs_all = np.concatenate(probs_all)
-    metrics = recording_level_eval(
-        probs_all, np.concatenate(labels), np.concatenate(wavs), class_majority
+    test_loss, metrics = aggregate_recording_eval(
+        device_out, staged, class_majority
     )
-    perf.add("test_loss", loss_sum / max(n, 1))
+    perf.add("test_loss", test_loss)
     for k, v in metrics.items():
         perf.add(k, v)
 

@@ -27,7 +27,7 @@ STEPS = 48  # per member per window
 
 
 def build(use_pallas: bool, gang_s: int | None):
-    """Returns (run_window(start)->samples, state_holder) for one arm."""
+    """Returns run_window(start) -> samples-processed for one arm."""
     import jax
     import jax.numpy as jnp
 

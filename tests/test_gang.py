@@ -307,8 +307,12 @@ def test_gang_checkpoint_resume(tiny_dataset, seed_datas, tmp_path, monkeypatch)
     from pcgmix_tpu.train.checkpoint import CheckpointManager
 
     def cfgs(root):
+        # magnitudewarp consumes the engine's cross-step mirror stream:
+        # resume must replay it (loop.replay_plan_rng) or post-resume plans
+        # silently differ from the uninterrupted run
         return [
             _cfg(seed_data=sd, num_epochs=3, checkpoint_every=1,
+                 method="magnitudewarp(0.2,4)",
                  save_artifacts=True, plot=False, experiments_root=root)
             for sd in seed_datas[:2]
         ]
@@ -331,6 +335,10 @@ def test_gang_checkpoint_resume(tiny_dataset, seed_datas, tmp_path, monkeypatch)
     monkeypatch.setattr(CheckpointManager, "save", orig_save)
 
     resumed = train_gang(cfgs(str(tmp_path / "run")), tiny_dataset)
+    # success deletes the gang checkpoint dir (a stale one would make a
+    # future rerun of the same grid resume past all epochs)
+    gang_ck = os.path.join(str(tmp_path / "run"), ".gang_checkpoints")
+    assert not os.path.isdir(gang_ck) or not os.listdir(gang_ck)
     for r, f in zip(resumed, ref):
         np.testing.assert_allclose(r["train_loss"], f["train_loss"], rtol=1e-6)
         np.testing.assert_allclose(r["test_loss"], f["test_loss"], rtol=1e-6)

@@ -141,6 +141,47 @@ def test_checkpoint_resume(tmp_path):
     mgr.close()
 
 
+def test_checkpoint_resume_replays_engine_rng(tmp_path, monkeypatch):
+    """Mid-training resume with a stream-consuming augmentation
+    (magnitudewarp draws spline knots from the engine's per-run mirror
+    stream that ADVANCES across steps): the resumed run must rebuild
+    post-resume plans exactly as the uninterrupted run — replay_plan_rng
+    fast-forwards the fresh engine's RNG state on restore."""
+    import copy
+
+    from pcgmix_tpu.train.checkpoint import CheckpointManager
+
+    def mk(root):
+        cfg = _base(root)
+        cfg.method = "magnitudewarp(0.2,4)"
+        cfg.num_epochs = 3
+        cfg.checkpoint_every = 1
+        return cfg
+
+    ref = train_model(mk(tmp_path / "ref"), DS)
+
+    calls = {"n": 0}
+    orig_save = CheckpointManager.save
+
+    def crashing_save(self, step, state, metrics=None):
+        orig_save(self, step, state, metrics)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash")
+
+    monkeypatch.setattr(CheckpointManager, "save", crashing_save)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        train_model(mk(tmp_path / "run"), DS)
+    monkeypatch.setattr(CheckpointManager, "save", orig_save)
+
+    resumed = train_model(mk(tmp_path / "run"), DS)
+    np.testing.assert_allclose(resumed["train_loss"], ref["train_loss"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(resumed["test_loss"], ref["test_loss"],
+                               rtol=1e-6)
+    assert resumed["epochs"] == ref["epochs"]
+
+
 def test_viz_helpers(tmp_path):
     from pcgmix_tpu.exp.viz import show_sal, show_sig, show_spectrogram
 
