@@ -19,7 +19,7 @@ pcgmix-run --dataset-file "$DAT" --dataset "PhysioNet(spec128)" \
   --n-fractions 0.1 \
   --seeds 1 \
   --num-epochs 50 --batch-size 64 \
-  --steps-per-dispatch 8
+  --steps-per-dispatch 8 --gang
 
 pcgmix-results --dataset "PhysioNet(spec128)" --model resnet9 \
   --num-channels 1 \

@@ -9,7 +9,7 @@ plus a jitted eval step with host-side recording-level aggregation.
 from pcgmix_tpu.train.losses import soft_target_ce, selc_update
 from pcgmix_tpu.train.schedule import onecycle_lr, onecycle_beta1
 from pcgmix_tpu.train.loop import TrainConfig, train_model
-from pcgmix_tpu.train.gang import train_gang, gang_ineligible_reason
+from pcgmix_tpu.train.gang import train_gang, gang_ineligible_reason, group_gangable
 
 __all__ = [
     "soft_target_ce",
@@ -20,4 +20,5 @@ __all__ = [
     "train_model",
     "train_gang",
     "gang_ineligible_reason",
+    "group_gangable",
 ]
