@@ -313,11 +313,14 @@ def train_gang(
                 spec_freq=train_sets[0].data.shape[-2] if cfg.spectrogram else 0,
                 model=cfg.model,
                 cvd_map=cvd_map,
-                # the Pallas mix kernels are not vmap-batched; the XLA path
-                # is bit-identical (tests/test_pallas_mix) and fuses fine
-                use_pallas=False,
+                # default OFF under vmap: the XLA mix path is bit-identical
+                # (tests/test_pallas_mix) and fuses fine.  An explicit
+                # cfg.use_pallas=True opts in — jax batches the pallas_call
+                # over the member axis (validated in interpret mode,
+                # tests/test_gang.py::test_gang_pallas_interpret)
+                use_pallas=bool(cfg.use_pallas),
                 mesh=None,
-                pallas_interpret=False,
+                pallas_interpret=cfg.pallas_interpret,
             )
         )
 

@@ -177,6 +177,45 @@ def test_gang_same_cvd_matches_single_runs(tiny_dataset, seed_datas):
     _assert_member_parity(gang, singles)
 
 
+def test_gang_pallas_interpret_matches_xla(tiny_dataset, seed_datas):
+    """Explicit use_pallas=True opt-in: jax vmap-batches the pallas_call
+    over the member axis (interpret mode on CPU; the real-TPU lowering is
+    exercised by bench_gang.py when a chip is attached)."""
+    base_kw = dict(method="durratiomixup", num_epochs=2)
+    xla = train_gang(_members(seed_datas[:2], **base_kw), tiny_dataset)
+    pal = train_gang(
+        _members(seed_datas[:2], use_pallas=True, pallas_interpret=True,
+                 **base_kw),
+        tiny_dataset,
+    )
+    _assert_member_parity(pal, xla)
+
+
+def test_group_gangable_light_dataset_equivalence(tiny_dataset):
+    """Grouping on the zero-sample-axis copy must bucket exactly like
+    grouping on the full dataset (the selection pipeline never reads
+    sample values)."""
+    from pcgmix_tpu.train.gang import _light_dataset
+
+    cfgs = [_cfg(seed_data=1100000 + i) for i in range(1, 9)]
+    full = [
+        [c.seed_data for c in g] for g in group_gangable(cfgs, tiny_dataset)
+    ]
+    # group_gangable already uses the light copy internally; compare against
+    # splitting the REAL dataset directly
+    from pcgmix_tpu.train.loop import build_splits
+
+    sizes = {}
+    for c in cfgs:
+        tr, te = build_splits(c, tiny_dataset)
+        sizes.setdefault((len(tr), tuple(te.wav)), []).append(c.seed_data)
+    assert sorted(map(tuple, full)) == sorted(map(tuple, sizes.values()))
+    # and the light copy preserves selection-relevant fields verbatim
+    light = _light_dataset(tiny_dataset)
+    assert list(light["train"]["wav"]) == list(tiny_dataset["train"]["wav"])
+    assert light["train"]["data"]["25-45"].shape[-1] == 0
+
+
 def test_gang_2d_spectrogram_matches_single_runs():
     """2-D (spectrogram) gang: same machinery, channelled from_dict base."""
     from pcgmix_tpu.data import synthetic_spectrogram_dict
