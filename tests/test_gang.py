@@ -141,6 +141,18 @@ def test_gang_mesh_matches_single_device(tiny_dataset, seed_datas):
     _assert_member_parity(meshed, plain)
 
 
+def test_gang_mesh_scan_composition(tiny_dataset, seed_datas):
+    """The full production shape at once: member-axis mesh sharding × K-step
+    scan dispatch × plan-based method — must match the plain gang."""
+    kw = dict(method="durmixmagwarp(0.2,4)+0.8", num_epochs=2)
+    plain = train_gang(_members(seed_datas[:4], **kw), tiny_dataset)
+    fused = train_gang(
+        _members(seed_datas[:4], steps_per_dispatch=2, **kw),
+        tiny_dataset, n_devices=4,
+    )
+    _assert_member_parity(fused, plain)
+
+
 def test_gang_latentmixup_matches_single_runs(tiny_dataset, seed_datas):
     """Split-forward methods gang per-step through per-depth programs."""
     cfgs = _members(seed_datas[:2], method="latentmixup", num_epochs=2)
