@@ -196,8 +196,19 @@ def main():
         results[f"seq_control_after_gang_{s}"] = measure(seq, reps=2)
     seq_p = build(use_pallas=True, gang_s=None)
     results["seq_pallas_on"] = measure(seq_p)
+    # experimental: vmap-batched Pallas mix kernels inside the gang (works
+    # in interpret mode; the real Mosaic lowering may reject the batched
+    # grid — record the outcome either way)
+    gang_pallas_error = None
+    try:
+        gp = build(use_pallas=True, gang_s=gang_sizes[-1])
+        results[f"gang_{gang_sizes[-1]}_pallas"] = measure(gp)
+    except Exception as e:  # noqa: BLE001 - record, don't crash the bench
+        gang_pallas_error = f"{type(e).__name__}: {e}"
 
     out = {}
+    if gang_pallas_error:
+        out["gang_pallas_error"] = gang_pallas_error[:300]
     base = float(np.median(results["seq_pallas_off"]))
     for k, v in results.items():
         out[k] = {
