@@ -203,6 +203,25 @@ def test_gang_pallas_interpret_matches_xla(tiny_dataset, seed_datas):
     _assert_member_parity(pal, xla)
 
 
+def test_gang_bf16_scan_smoke(tiny_dataset, seed_datas):
+    """The production fast config (bf16 + scan) through the gang."""
+    cfgs = _members(seed_datas[:2], compute_dtype="bfloat16", num_epochs=2,
+                    steps_per_dispatch=2, method="durmixmagwarp(0.2,4)")
+    gang = train_gang(cfgs, tiny_dataset)
+    for p in gang:
+        assert np.isfinite(p["train_loss"]).all()
+        assert len(p["test_accuracy"]) >= 1
+
+
+def test_group_gangable_ineligible_are_singletons(tiny_dataset):
+    """Model-in-the-loop configs never share a bucket (each must run via
+    train_model, even when otherwise identical)."""
+    cfgs = [_cfg(method="lc-nointrusion", seed_data=sd)
+            for sd in (1100001, 1100002)]
+    groups = group_gangable(cfgs, tiny_dataset)
+    assert [len(g) for g in groups] == [1, 1]
+
+
 def test_group_gangable_light_dataset_equivalence(tiny_dataset):
     """Grouping on the zero-sample-axis copy must bucket exactly like
     grouping on the full dataset (the selection pipeline never reads
