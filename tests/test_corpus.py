@@ -132,6 +132,16 @@ def build_fake_physionet_tree(root: str) -> str:
     os.makedirs(os.path.join(root, "validation"), exist_ok=True)
     with open(os.path.join(root, "validation", "REFERENCE.csv"), "w") as f:
         f.write("\n".join(test_rows) + "\n")
+    # wav → cardiovascular-diagnosis map, a corpus-resident sibling of the
+    # recording dirs (the reference reads it from its data/physionet root at
+    # import time, augmentations.py:26-28; the (sameCVD) pairing constraint
+    # consumes it via --cvd-map-csv here)
+    with open(os.path.join(root, "cvds_map.csv"), "w") as f:
+        f.write("wav,diagnosis\n")
+        for si, subset in enumerate("ab"):
+            for r in range(4):
+                diag = ["CAD", "MVP"][(si + r) % 2]
+                f.write(f"{subset}{r:04d},{diag}\n")
     return root
 
 
