@@ -13,9 +13,13 @@ S and trains all S grid members simultaneously in one XLA program:
 - the train corpus is staged in HBM ONCE (members' splits are row-subsets
   of the same base array — ``ArrayDataset.rows`` provenance maps each
   member's split-local batch indices to shared base rows);
-- the test split is identical across members (PhysioNet mode='test' ignores
-  ``seed_data``, dataloader_physionet.py:27-39), so eval tensors are staged
-  once and ONE vmapped dispatch evaluates every member per plot epoch;
+- when the test split is identical across members (PhysioNet mode='test'
+  ignores ``seed_data``, dataloader_physionet.py:27-39), eval tensors are
+  staged once and ONE vmapped dispatch evaluates every member per plot
+  epoch; members with UNEQUAL train sizes and/or per-member test folds
+  (the UMC 10-fold case) train through the RAGGED path instead
+  (:func:`_train_gang_ragged`) — lockstep epochs with masked no-op steps,
+  per-member OneCycle tables, per-member padded eval staging;
 - model init is identical across members (the reference fixes
   ``torch.manual_seed(seed_fix)`` with seed_fix=4 for the whole grid,
   train_model.py:222) — states start equal and diverge through the
@@ -157,18 +161,22 @@ def _light_dataset(dataset: dict) -> dict:
 def group_gangable(cfgs: list[TrainConfig], dataset: dict) -> list[list[TrainConfig]]:
     """Bucket configs into gangs that can train as one program.
 
-    Two configs share a bucket when they differ only in ``_MEMBER_FIELDS``,
-    are gang-eligible, and resolve to equal-sized train splits and identical
-    test splits (segment counts per recording vary, so two seed_data values
-    can select different-sized subsets — those must train in separate
-    programs; the split selection is host-side and cheap relative to
-    training).  Singleton buckets (and ineligible configs) should run via
+    Two configs share a bucket when they differ only in ``_MEMBER_FIELDS``
+    and are gang-eligible.  Unequal train-split sizes and per-member test
+    splits are handled by the ragged gang path (:func:`_train_gang_ragged`),
+    so they do NOT split buckets — EXCEPT for the latent (split-forward)
+    methods, whose depth/gate draws are seeded by each member's own step
+    count and therefore require equal-sized splits to stay member-uniform;
+    those bucket by (train size, test split) as before.  Singleton buckets
+    (and ineligible configs) should run via
     :func:`pcgmix_tpu.train.loop.train_model`.  Bucket order follows first
     appearance; members keep input order.
     """
+    from pcgmix_tpu.augment.methods import parse_method
+
     groups: dict = {}
     order: list = []
-    light = _light_dataset(dataset)  # selection logic without tensor copies
+    light = None
     for cfg in cfgs:
         if gang_ineligible_reason(cfg) is not None:
             key = ("ineligible", id(cfg))
@@ -176,9 +184,13 @@ def group_gangable(cfgs: list[TrainConfig], dataset: dict) -> list[list[TrainCon
             d = dataclasses.asdict(cfg)
             for f in _MEMBER_FIELDS:
                 d.pop(f)
-            tr, te = build_splits(cfg, light)
-            key = (repr(sorted(d.items(), key=lambda kv: kv[0])),
-                   len(tr), tuple(te.wav), tuple(te.label.tolist()))
+            key = (repr(sorted(d.items(), key=lambda kv: kv[0])),)
+            spec = parse_method(cfg.method, spectrogram=cfg.spectrogram)
+            if spec.base == "latentmixup" or spec.manifold:
+                if light is None:  # selection logic without tensor copies
+                    light = _light_dataset(dataset)
+                tr, te = build_splits(cfg, light)
+                key = key + (len(tr), tuple(te.wav), tuple(te.label.tolist()))
         if key not in groups:
             groups[key] = []
             order.append(key)
@@ -222,6 +234,92 @@ def _stack_trees(trees, axis=0):
     )
 
 
+def _member_engines(cfgs: list[TrainConfig], train_sets) -> list[AugmentEngine]:
+    """One planning engine per member (np_stream state advances per run);
+    engines[0] doubles as the apply closure — apply() is a pure function of
+    the plan arrays, no per-member state."""
+
+    def make_engine(cfg):
+        cvd_map = cfg.cvd_map
+        if isinstance(cvd_map, str):
+            from pcgmix_tpu.data.datasets import load_cvd_map
+
+            cvd_map = load_cvd_map(cvd_map)
+        return AugmentEngine(
+            AugmentConfig(
+                method=cfg.method,
+                batch_size=cfg.batch_size,
+                num_channels=train_sets[0].data.shape[1],
+                sig_len=train_sets[0].data.shape[-1],
+                num_classes=cfg.num_classes,
+                sample_rate=cfg.sample_rate,
+                spectrogram=cfg.spectrogram,
+                spec_freq=train_sets[0].data.shape[-2] if cfg.spectrogram else 0,
+                model=cfg.model,
+                cvd_map=cvd_map,
+                # default OFF under vmap: the XLA mix path is bit-identical
+                # (tests/test_pallas_mix) and fuses fine.  An explicit
+                # cfg.use_pallas=True opts in — jax batches the pallas_call
+                # over the member axis (validated in interpret mode,
+                # tests/test_gang.py::test_gang_pallas_interpret)
+                use_pallas=bool(cfg.use_pallas),
+                mesh=None,
+                pallas_interpret=cfg.pallas_interpret,
+            )
+        )
+
+    return [make_engine(cfg) for cfg in cfgs]
+
+
+def _check_provenance(base_ds, cfgs, train_sets, member_rows) -> None:
+    """Provenance integrity: the device step gathers data/targets from the
+    shared base by rows — if a split-level transform (label swap,
+    normalization, channel edit) diverged from the base rebuild, the members
+    would silently train on wrong tensors."""
+    for cfg, tr, rows in zip(cfgs, train_sets, member_rows):
+        if not np.array_equal(base_ds.label[rows], tr.label):
+            raise AssertionError(
+                f"base/split label mismatch for seed_data={cfg.seed_data} "
+                f"(split-level transform not mirrored in _base_train_dataset)"
+            )
+        li = np.arange(len(rows))[:: max(1, len(rows) // 8)][:8]
+        if not np.array_equal(base_ds.data[rows[li]], tr.data[li]):
+            raise AssertionError(
+                f"base/split data mismatch for seed_data={cfg.seed_data}"
+            )
+
+
+def _open_gang_ckpt(cfg0: TrainConfig, run_dirs):
+    """Periodic full-state checkpointing of the STACKED state (crash
+    recovery, loop.py contract): one checkpoint for the whole gang, keyed
+    by the member run dirs so the same cfg list resumes it."""
+    if not (cfg0.checkpoint_every and all(d is not None for d in run_dirs)):
+        return None
+    import hashlib
+
+    from pcgmix_tpu.train.checkpoint import CheckpointManager
+
+    digest = hashlib.sha1("\n".join(run_dirs).encode()).hexdigest()[:16]
+    return CheckpointManager(
+        os.path.join(cfg0.experiments_root, ".gang_checkpoints", digest)
+    )
+
+
+def _cleanup_gang_ckpt(ckpt_mgr) -> None:
+    """The members' run dirs are now the durable artifacts; a kept gang
+    checkpoint would make a LATER rerun of the same grid (after the user
+    deletes the run dirs to retrain) silently "resume" past all epochs from
+    stale state — and stacked params+opt_state per gang would accumulate
+    unboundedly."""
+    if ckpt_mgr is None:
+        return
+    import shutil
+
+    ckpt_dir = ckpt_mgr.directory
+    ckpt_mgr.close()
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+
 def train_gang(
     cfgs: list[TrainConfig],
     dataset: dict,
@@ -253,27 +351,23 @@ def train_gang(
     splits = [build_splits(cfg, dataset) for cfg in cfgs]
     train_sets = [tr for tr, _ in splits]
     test_ds = splits[0][1]
-    n_train = len(train_sets[0])
-    for cfg, (tr, te) in zip(cfgs[1:], splits[1:]):
-        if len(tr) != n_train:
-            raise ValueError(
-                f"gang members must have equal train split sizes (one "
-                f"program = one steps_per_epoch); seed_data={cfg.seed_data} "
-                f"seed={cfg.seed} gives {len(tr)} vs {n_train} — bucket "
-                f"configs with group_gangable() first"
-            )
-        if not (
-            np.array_equal(te.wav, test_ds.wav)
-            and np.array_equal(te.label, test_ds.label)
-        ):
-            raise ValueError(
-                "gang members must share the test split (PhysioNet "
-                "valid=False does; CV folds / UMC held-out groups differ "
-                "per seed — train those singly)"
-            )
     for tr in train_sets:
         if tr.rows is None:
             raise ValueError("train split lacks row provenance (rows=None)")
+    n_train = len(train_sets[0])
+    ragged = any(len(tr) != n_train for tr in train_sets[1:]) or not all(
+        np.array_equal(te.wav, test_ds.wav)
+        and np.array_equal(te.label, test_ds.label)
+        for _, te in splits[1:]
+    )
+    if ragged:
+        # unequal train sizes and/or per-member test splits (the UMC
+        # 10-fold case): lockstep program with masked no-op steps and
+        # per-member schedule tables — exact per-member semantics, some
+        # idle compute on the shorter members
+        return _train_gang_ragged(
+            cfgs, dataset, splits, n_devices=n_devices, progress=progress
+        )
 
     steps_per_epoch = n_train // cfg0.batch_size
     num_steps = cfg0.num_epochs * steps_per_epoch
@@ -292,56 +386,10 @@ def train_gang(
         num_steps, cfg0.use_sched,
     )
 
-    # one planning engine per member (np_stream state advances per run);
-    # engines[0] doubles as the apply closure — apply() is a pure function
-    # of the plan arrays, no per-member state
-    def make_engine(cfg):
-        cvd_map = cfg.cvd_map
-        if isinstance(cvd_map, str):
-            from pcgmix_tpu.data.datasets import load_cvd_map
-
-            cvd_map = load_cvd_map(cvd_map)
-        return AugmentEngine(
-            AugmentConfig(
-                method=cfg.method,
-                batch_size=cfg.batch_size,
-                num_channels=train_sets[0].data.shape[1],
-                sig_len=train_sets[0].data.shape[-1],
-                num_classes=cfg.num_classes,
-                sample_rate=cfg.sample_rate,
-                spectrogram=cfg.spectrogram,
-                spec_freq=train_sets[0].data.shape[-2] if cfg.spectrogram else 0,
-                model=cfg.model,
-                cvd_map=cvd_map,
-                # default OFF under vmap: the XLA mix path is bit-identical
-                # (tests/test_pallas_mix) and fuses fine.  An explicit
-                # cfg.use_pallas=True opts in — jax batches the pallas_call
-                # over the member axis (validated in interpret mode,
-                # tests/test_gang.py::test_gang_pallas_interpret)
-                use_pallas=bool(cfg.use_pallas),
-                mesh=None,
-                pallas_interpret=cfg.pallas_interpret,
-            )
-        )
-
-    engines = [make_engine(cfg) for cfg in cfgs]
+    engines = _member_engines(cfgs, train_sets)
     base_ds = _base_train_dataset(cfg0, dataset)
     member_rows = [np.asarray(tr.rows, np.int64) for tr in train_sets]
-    for cfg, tr, rows in zip(cfgs, train_sets, member_rows):
-        # provenance integrity: the device step gathers data/targets from
-        # the shared base by rows — if a split-level transform (label swap,
-        # normalization, channel edit) diverged from the base rebuild, the
-        # members would silently train on wrong tensors
-        if not np.array_equal(base_ds.label[rows], tr.label):
-            raise AssertionError(
-                f"base/split label mismatch for seed_data={cfg.seed_data} "
-                f"(split-level transform not mirrored in _base_train_dataset)"
-            )
-        li = np.arange(len(rows))[:: max(1, len(rows) // 8)][:8]
-        if not np.array_equal(base_ds.data[rows[li]], tr.data[li]):
-            raise AssertionError(
-                f"base/split data mismatch for seed_data={cfg.seed_data}"
-            )
+    _check_provenance(base_ds, cfgs, train_sets, member_rows)
     base_data = jnp.asarray(base_ds.data)
     base_labels = jnp.asarray(base_ds.label)
 
@@ -479,23 +527,8 @@ def train_gang(
     lr_per_step: list[float] = []
     done = False
 
-    # periodic full-state checkpoint of the STACKED state (crash recovery,
-    # loop.py:400-417 contract): one checkpoint for the whole gang, keyed by
-    # the member run dirs so the same cfg list resumes it
-    ckpt_mgr = None
-    if cfg0.checkpoint_every and all(d is not None for d in run_dirs):
-        import hashlib
-
-        from pcgmix_tpu.train.checkpoint import CheckpointManager
-
-        digest = hashlib.sha1(
-            "\n".join(run_dirs).encode()
-        ).hexdigest()[:16]
-        ckpt_mgr = CheckpointManager(
-            os.path.join(
-                cfg0.experiments_root, ".gang_checkpoints", digest
-            )
-        )
+    ckpt_mgr = _open_gang_ckpt(cfg0, run_dirs)
+    if ckpt_mgr is not None:
         if ckpt_mgr.latest_step() is not None:
             state, restored_step = ckpt_mgr.restore(state)
             step_count = restored_step
@@ -723,15 +756,491 @@ def train_gang(
                 perf.dict, os.path.join(run_dirs[s], "performance.pkl")
             )
         perf.dict["lr_per_step"] = list(lr_per_step)
-    if ckpt_mgr is not None:
-        # the members' run dirs are now the durable artifacts; a kept gang
-        # checkpoint would make a LATER rerun of the same grid (after the
-        # user deletes the run dirs to retrain) silently "resume" past all
-        # epochs from stale state — and stacked params+opt_state per gang
-        # would accumulate unboundedly
-        import shutil
+    _cleanup_gang_ckpt(ckpt_mgr)
+    return [perf.dict for perf in perfs]
 
-        ckpt_dir = ckpt_mgr.directory
-        ckpt_mgr.close()
-        shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+def _stage_eval_ragged(test_sets, cfg0, put):
+    """Per-member eval staging, padded to a common batch count.
+
+    Each member's test split is staged separately (ragged gangs have
+    per-member held-out folds); members with fewer eval batches are padded
+    by REUSING their first batch's tensors under an all-False validity mask,
+    so one vmapped dispatch per batch position evaluates every member and
+    the host aggregation drops the padding.  Returns
+    ``(padded_staged, stacked)``: per-member staged lists (for
+    aggregate_recording_eval) and the (S, Bev, …) device stacks."""
+    staged = [
+        stage_eval(te, cfg0.eval_batch_size, cfg0.num_classes,
+                   device_put=np.asarray)
+        for te in test_sets
+    ]
+    n_batches = max(len(x) for x in staged)
+    padded = []
+    for st_s in staged:
+        pad = []
+        if len(st_s) < n_batches:
+            d0, t0, b0 = st_s[0]
+            zb = dict(b0)
+            zb["mask"] = np.zeros_like(b0["mask"])
+            pad = [(d0, t0, zb)] * (n_batches - len(st_s))
+        padded.append(list(st_s) + pad)
+    stacked = [
+        (
+            put(np.stack([m[j][0] for m in padded])),
+            put(np.stack([m[j][1] for m in padded])),
+        )
+        for j in range(n_batches)
+    ]
+    return padded, stacked
+
+
+def _train_gang_ragged(
+    cfgs: list[TrainConfig],
+    dataset: dict,
+    splits,
+    *,
+    n_devices: Optional[int] = None,
+    progress: bool = False,
+) -> list[dict]:
+    """Ragged gang: members may have UNEQUAL train-split sizes and
+    PER-MEMBER test splits — the UMC 10-fold case (held-out patient groups
+    of 3-4 patients give every fold a different train size and test set,
+    data/umc.py HELDOUT_GROUPS), and PhysioNet seed_data subsets whose
+    segment counts differ.
+
+    Mechanism, preserving each member's standalone semantics exactly:
+
+    - lockstep epochs of ``max(steps_per_epoch)`` steps; a member that has
+      exhausted its own epoch re-feeds its last batch through the program as
+      a masked NO-OP — the updated state is discarded per member via
+      ``jnp.where(active, new, old)``, so params/opt-state/BN stats/SELC
+      table/step counter stay untouched, exactly as if the step never ran;
+    - OneCycle spans each member's OWN total step count: the lr/β₁ values
+      ride ``optax.inject_hyperparams`` state as runtime inputs
+      (steps.make_runtime_optimizer), indexed host-side by the member's own
+      completed-update count — bit-equal to the count-baked schedule chain;
+    - per-member RNG: the dropout key folds each member's OWN step id (a
+      standalone run folds its global step_count), and each member's host
+      plan engine is stepped only on its REAL steps, so plans and noise
+      draws match the standalone runs bit-exactly;
+    - eval stages every member's own test split, padded to a common batch
+      count with zero-mask batches (:func:`_stage_eval_ragged`);
+    - SELC tables are padded to the widest member (scatter indices are
+      split-local, so padding rows are never touched).
+
+    Cost: the shorter members idle for (max-own) steps per epoch — wasted
+    compute bounded by the size spread, still far cheaper than training the
+    spread members sequentially.  Latent (split-forward) methods cannot run
+    ragged: their depth/gate draws are seeded by each member's own step
+    count, which diverges — group_gangable buckets those by split size.
+    """
+    cfg0 = cfgs[0]
+    S = len(cfgs)
+    train_sets = [tr for tr, _ in splits]
+    test_sets = [te for _, te in splits]
+    bs = cfg0.batch_size
+    spe = [len(tr) // bs for tr in train_sets]
+    if min(spe) == 0:
+        raise ValueError("a member's train split is smaller than one batch")
+    spe_max = max(spe)
+    member_steps = [cfg0.num_epochs * k for k in spe]
+
+    engines = _member_engines(cfgs, train_sets)
+    enabled = engines[0].enabled
+    if enabled and (
+        engines[0].spec.base == "latentmixup" or engines[0].spec.manifold
+    ):
+        raise ValueError(
+            "ragged gang cannot run latentmixup/manifold methods: the "
+            "depth/gate draws are seeded by each member's own step count, "
+            "which diverges across unequal splits (per-depth dispatch would "
+            "need per-member programs) — group_gangable() buckets latent "
+            "methods by split size/test split; train unequal ones singly"
+        )
+
+    base_ds = _base_train_dataset(cfg0, dataset)
+    member_rows = [np.asarray(tr.rows, np.int64) for tr in train_sets]
+    _check_provenance(base_ds, cfgs, train_sets, member_rows)
+    base_data = jnp.asarray(base_ds.data)
+    base_labels = jnp.asarray(base_ds.label)
+
+    dtype = jnp.bfloat16 if cfg0.compute_dtype == "bfloat16" else None
+    model = build_model(
+        cfg0.model, cfg0.dataset, cfg0.num_classes, train=True, compute_dtype=dtype
+    )
+    model_eval = build_model(
+        cfg0.model, cfg0.dataset, cfg0.num_classes, train=False, compute_dtype=dtype
+    )
+
+    if cfg0.use_sched:
+        from pcgmix_tpu.train.schedule import onecycle_beta1, onecycle_lr
+        from pcgmix_tpu.train.steps import make_runtime_optimizer
+
+        tx, with_sched = make_runtime_optimizer(
+            cfg0.op, cfg0.lr_max, cfg0.weight_decay, cfg0.grad_clip
+        )
+        lr_tables = [
+            np.asarray(
+                jax.vmap(onecycle_lr(ns, cfg0.lr_max))(jnp.arange(ns)),
+                np.float32,
+            )
+            for ns in member_steps
+        ]
+        mom_tables = [
+            np.asarray(jax.vmap(onecycle_beta1(ns))(jnp.arange(ns)), np.float32)
+            for ns in member_steps
+        ]
+    else:
+        # no count-baked closures to vary per member — the baked chain is
+        # identical for every member (and bit-equal to train_model's)
+        tx = make_optimizer(
+            cfg0.op, cfg0.lr_max, cfg0.weight_decay, cfg0.grad_clip,
+            max(member_steps), False,
+        )
+        with_sched = None
+        lr_tables = [np.full(ns, cfg0.lr_max, np.float32) for ns in member_steps]
+        mom_tables = None
+
+    selc_es = _selc_turnpoint(cfg0)
+    raw_step = make_train_step(
+        model, tx, selc_es=selc_es,
+        engine=engines[0] if enabled else None,
+        train_data=base_data, train_labels=base_labels,
+    )._raw_step
+
+    # stacked state; per-member SELC tables padded to the widest member
+    n_max = max(len(tr) for tr in train_sets)
+    state0 = init_state(cfg0, model, train_sets[0], tx)
+
+    def padded_table(tr):
+        t = np.asarray(init_selc_table(tr.label, cfg0.num_classes))
+        if len(tr) < n_max:
+            t = np.concatenate(
+                [t, np.zeros((n_max - len(tr), t.shape[1]), t.dtype)]
+            )
+        return t
+
+    state = jax.tree_util.tree_map(
+        lambda x: jnp.repeat(jnp.asarray(x)[None], S, axis=0),
+        state0.replace(soft_labels=jnp.zeros((0,))),
+    )
+    state = state.replace(
+        soft_labels=jnp.asarray(np.stack([padded_table(tr) for tr in train_sets]))
+    )
+
+    mesh = None
+    if n_devices is not None and n_devices > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from pcgmix_tpu.parallel import make_mesh, shard_batch
+
+        if S % n_devices:
+            raise ValueError(
+                f"gang size {S} must divide evenly over {n_devices} devices"
+            )
+        mesh = make_mesh(n_devices, axis="gang")
+        state = jax.device_put(state, NamedSharding(mesh, P("gang")))
+
+        def put(tree):
+            return shard_batch(tree, mesh, axis="gang", axis_index=0)
+    else:
+        def put(tree):
+            return jax.tree_util.tree_map(jnp.asarray, tree)
+
+    def member_body(st, idx, rows, plan, sid, lr, mom, active, epoch, rng):
+        if with_sched is not None:
+            st = st.replace(opt_state=with_sched(st.opt_state, lr, mom))
+        new_st, out = raw_step(
+            st, {"indices": idx, "rows": rows}, plan, epoch,
+            jax.random.fold_in(rng, sid),
+        )
+        # masked no-op: discard the whole update for idle members (the
+        # select also blocks any NaN a garbage re-fed batch could produce)
+        new_st = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(active, a, b), new_st, st
+        )
+        return new_st, out
+
+    gang_step = jax.jit(
+        jax.vmap(
+            member_body,
+            in_axes=(0, 0, 0, 0 if enabled else None, 0, 0, 0, 0, None, None),
+        ),
+        donate_argnums=(0,),
+    )
+
+    scan_k = cfg0.steps_per_dispatch
+    gang_multi = None
+    if scan_k > 1:
+        def member_multi(
+            st, idx_seq, rows_seq, plan_seq, sid_seq, lr_seq, mom_seq,
+            act_seq, epoch, rng,
+        ):
+            def body(s, xs):
+                idx, rows, plan, sid, lr, mom, active = xs
+                return member_body(
+                    s, idx, rows, plan, sid, lr, mom, active, epoch, rng
+                )
+
+            return jax.lax.scan(
+                body, st,
+                (idx_seq, rows_seq, plan_seq, sid_seq, lr_seq, mom_seq, act_seq),
+            )
+
+        gang_multi = jax.jit(
+            jax.vmap(
+                member_multi,
+                in_axes=(0, 0, 0, 0 if enabled else None, 0, 0, 0, 0, None, None),
+            ),
+            donate_argnums=(0,),
+        )
+
+    eval_step = make_eval_step(model_eval)
+    gang_eval_step = jax.jit(jax.vmap(eval_step, in_axes=(0, 0, 0, 0)))
+
+    run_dirs = [
+        utils.check_folder(experiment_dir(cfg)) if cfg.save_artifacts else None
+        for cfg in cfgs
+    ]
+    perfs = [PerformanceTracker() for _ in cfgs]
+    epoch_plot = np.array(
+        sorted(set(np.linspace(1, cfg0.num_epochs, 11).astype(int)))
+    )
+    base_key = jax.random.PRNGKey(cfg0.seed_fix)
+    padded_staged = None
+    eval_stacked = None
+    msteps = [0] * S  # per-member REAL update counts
+    start_epoch = 1
+    times: list[float] = []
+    lr_lists: list[list[float]] = [[] for _ in range(S)]
+
+    ckpt_mgr = _open_gang_ckpt(cfg0, run_dirs)
+    if ckpt_mgr is not None and ckpt_mgr.latest_step() is not None:
+        state, restored_step = ckpt_mgr.restore(state)
+        # gang checkpoints are taken at epoch boundaries, so the lockstep
+        # step count factors exactly into completed epochs
+        epochs_done = restored_step // spe_max
+        start_epoch = epochs_done + 1
+        msteps = [epochs_done * k for k in spe]
+        saved = ckpt_mgr.restore_metrics(restored_step)
+        if saved:
+            for perf, hist in zip(perfs, saved.get("perfs", [])):
+                for k, v in hist.items():
+                    perf.dict[k] = list(v)
+            times = list(saved.get("times", []))
+            lr_lists = [list(x) for x in saved.get("lr_lists", lr_lists)]
+        if enabled:
+            from pcgmix_tpu.train.loop import replay_plan_rng
+
+            for eng, tr, cfg, ms in zip(engines, train_sets, cfgs, msteps):
+                replay_plan_rng(eng, tr, cfg, ms)
+        if progress:
+            print(f"ragged gang resumed: epoch {start_epoch}, msteps {msteps}")
+
+    for epoch in range(start_epoch, cfg0.num_epochs + 1):
+        if cfg0.profile_dir and epoch == min(2, cfg0.num_epochs):
+            jax.profiler.start_trace(cfg0.profile_dir)
+        t0 = time.time()
+        epoch_losses: list = []
+        epoch_preds: list = []
+        epoch_targets: list = []
+        epoch_masks: list = []  # host (S, k) bool, aligned with the outputs
+        iters = [
+            iter(
+                EpochIterator(
+                    tr, bs, cfg.seed, msteps[s], cfg.loader_parity,
+                    materialize_data=False,
+                )
+            )
+            for s, (tr, cfg) in enumerate(zip(train_sets, cfgs))
+        ]
+        last_batch: list = [None] * S
+        bufs = {k: [] for k in ("idx", "rows", "plans", "sids", "lrs",
+                                "moms", "act")}
+
+        def flush(n_items):
+            nonlocal state
+            acts = np.stack(bufs["act"][:n_items], axis=1)  # (S, K)
+            if n_items >= 2 and gang_multi is not None:
+                plan_seq = (
+                    _stack_trees(bufs["plans"][:n_items], axis=1)
+                    if enabled else None
+                )
+                state, outs = gang_multi(
+                    state,
+                    put(np.stack(bufs["idx"][:n_items], axis=1)),
+                    put(np.stack(bufs["rows"][:n_items], axis=1)),
+                    put(plan_seq) if enabled else None,
+                    put(np.stack(bufs["sids"][:n_items], axis=1)),
+                    put(np.stack(bufs["lrs"][:n_items], axis=1)),
+                    put(np.stack(bufs["moms"][:n_items], axis=1)),
+                    put(acts),
+                    epoch, base_key,
+                )
+                epoch_losses.append(outs["loss"])
+                epoch_preds.append(outs["preds"])
+                epoch_targets.append(outs["target"])
+                epoch_masks.append(acts)
+            else:
+                for k in range(n_items):
+                    state, out = gang_step(
+                        state, put(bufs["idx"][k]), put(bufs["rows"][k]),
+                        put(bufs["plans"][k]) if enabled else None,
+                        put(bufs["sids"][k]), put(bufs["lrs"][k]),
+                        put(bufs["moms"][k]), put(bufs["act"][k]),
+                        epoch, base_key,
+                    )
+                    epoch_losses.append(out["loss"][:, None])
+                    epoch_preds.append(out["preds"][:, None])
+                    epoch_targets.append(out["target"][:, None])
+                    epoch_masks.append(bufs["act"][k][:, None])
+            for v in bufs.values():
+                del v[:n_items]
+
+        for k in range(spe_max):
+            idx_r, rows_r, plan_r = [], [], []
+            sid_r, lr_r, mom_r, act_r = [], [], [], []
+            for s in range(S):
+                active = k < spe[s]
+                if active:
+                    b = next(iters[s])
+                    last_batch[s] = b
+                else:
+                    b = last_batch[s]  # masked no-op re-feed
+                idx_r.append(b["indices"])
+                rows_r.append(member_rows[s][b["indices"]])
+                if enabled:
+                    if active:
+                        arr, _ = engines[s].plan_arrays_or_identity(
+                            msteps[s], b["frames"], b["label"], b["wav"]
+                        )
+                    else:
+                        # consumes no engine RNG (identity_arrays snapshots
+                        # the mirror stream) — the member's plan trajectory
+                        # stays bit-equal to its standalone run
+                        arr = engines[s].identity_arrays(
+                            msteps[s], b["frames"], b["label"], b["wav"]
+                        )
+                    plan_r.append(arr)
+                sid_r.append(msteps[s])
+                if active:
+                    lr = float(lr_tables[s][msteps[s]])
+                    mom = float(
+                        mom_tables[s][msteps[s]]
+                    ) if mom_tables is not None else 0.0
+                    lr_lists[s].append(lr)
+                    msteps[s] += 1
+                else:
+                    lr, mom = 0.0, 0.0
+                lr_r.append(lr)
+                mom_r.append(mom)
+                act_r.append(active)
+            bufs["idx"].append(np.stack(idx_r))
+            bufs["rows"].append(np.stack(rows_r))
+            if enabled:
+                bufs["plans"].append(_stack_trees(plan_r))
+            bufs["sids"].append(np.asarray(sid_r, np.int32))
+            bufs["lrs"].append(np.asarray(lr_r, np.float32))
+            bufs["moms"].append(np.asarray(mom_r, np.float32))
+            bufs["act"].append(np.asarray(act_r))
+            if len(bufs["idx"]) == max(scan_k, 1):
+                flush(len(bufs["idx"]))
+        if bufs["idx"]:
+            # partial tail: a different-K scan would recompile — single steps
+            n_tail = len(bufs["idx"])
+            saved_multi, gang_multi = gang_multi, None
+            flush(n_tail)
+            gang_multi = saved_multi
+
+        if epoch in epoch_plot and epoch_losses:
+            jax.block_until_ready(epoch_losses[-1])
+        times.append(time.time() - t0)
+        if cfg0.profile_dir and epoch == min(2, cfg0.num_epochs):
+            jax.profiler.stop_trace()
+        if epoch in epoch_plot:
+            losses_h, preds_h, targets_h = jax.device_get(
+                (epoch_losses, epoch_preds, epoch_targets)
+            )
+            losses_np = np.concatenate(
+                [np.atleast_2d(np.asarray(l)) for l in losses_h], axis=1
+            )  # (S, lockstep steps this epoch)
+            preds_np = np.concatenate(
+                [np.asarray(p).reshape(S, -1) for p in preds_h], axis=1
+            )
+            targets_np = np.concatenate(
+                [np.asarray(t).reshape(S, -1) for t in targets_h], axis=1
+            )
+            mask_np = np.concatenate(epoch_masks, axis=1).astype(bool)
+            if eval_stacked is None:
+                padded_staged, eval_stacked = _stage_eval_ragged(
+                    test_sets, cfg0, put
+                )
+            eval_out = jax.device_get([
+                gang_eval_step(state.params, state.batch_stats, d, t)
+                for d, t in eval_stacked
+            ])  # per batch position: probs (S, Bev, C), losses (S, Bev)
+            for s, (cfg, perf) in enumerate(zip(cfgs, perfs)):
+                m = mask_np[s]
+                row_m = np.repeat(m, bs)
+                perf.add("epochs", epoch)
+                perf.add("steps", msteps[s])
+                perf.add("train_loss", float(losses_np[s][m].mean()))
+                perf.add(
+                    "train_accuracy",
+                    segment_accuracy(preds_np[s][row_m], targets_np[s][row_m]),
+                )
+                test_loss, metrics = aggregate_recording_eval(
+                    [(probs[s], losses[s]) for probs, losses in eval_out],
+                    padded_staged[s], engines[0].spec.class_majority,
+                )
+                perf.add("test_loss", test_loss)
+                for key, v in metrics.items():
+                    perf.add(key, v)
+                perf.add("times", float(np.sum(times)))
+                if run_dirs[s]:
+                    utils.save_dict(
+                        perf.dict, os.path.join(run_dirs[s], "performance.pkl")
+                    )
+                    if cfg.plot:
+                        from pcgmix_tpu.exp import plotters
+
+                        plotters.plot_train_test_acc(
+                            perf.dict["train_accuracy"],
+                            perf.dict["test_accuracy"],
+                            cfg.valid, perf.dict["steps"], run_dirs[s],
+                        )
+                        plotters.plot_train_test_loss(
+                            perf.dict["train_loss"], perf.dict["test_loss"],
+                            cfg.valid, perf.dict["steps"], run_dirs[s],
+                        )
+                        plotters.plot_lr_per_step(lr_lists[s], run_dirs[s])
+                        plotters.plot_times(
+                            times, list(range(1, len(times) + 1)), run_dirs[s]
+                        )
+            if progress:
+                accs = [p.dict["test_accuracy"][-1] for p in perfs]
+                print(
+                    f"epoch {epoch}: ragged gang of {S} "
+                    f"(spe {spe}), test_acc mean={np.mean(accs):.2f} "
+                    f"min={min(accs):.2f} max={max(accs):.2f}"
+                )
+        if ckpt_mgr is not None and epoch % cfg0.checkpoint_every == 0:
+            ckpt_mgr.save(
+                epoch * spe_max, state,
+                metrics={"perfs": [p.dict for p in perfs], "times": times,
+                         "lr_lists": lr_lists},
+            )
+
+    for s, (cfg, perf) in enumerate(zip(cfgs, perfs)):
+        member_state = jax.tree_util.tree_map(lambda x: x[s], state)
+        if run_dirs[s]:
+            save_checkpoint(
+                os.path.join(run_dirs[s], "model.msgpack"), member_state
+            )
+            utils.save_dict(
+                perf.dict, os.path.join(run_dirs[s], "performance.pkl")
+            )
+        perf.dict["lr_per_step"] = list(lr_lists[s])
+    _cleanup_gang_ckpt(ckpt_mgr)
     return [perf.dict for perf in perfs]

@@ -76,6 +76,68 @@ def make_optimizer(
     return optax.chain(*parts)
 
 
+def make_runtime_optimizer(
+    op: str,
+    lr_max: float,
+    weight_decay: float,
+    grad_clip: float,
+) -> tuple:
+    """The :func:`make_optimizer` chain with the SCHEDULE VALUES as runtime
+    inputs instead of count-baked closures.
+
+    A ragged gang (train/gang.py) trains members whose OneCycle schedules
+    span different total step counts in ONE vmapped program — a baked
+    ``onecycle_lr(num_steps, …)`` closure cannot vary per member, but an
+    ``optax.inject_hyperparams`` state can: the per-step lr/momentum land in
+    ``opt_state.…hyperparams`` (ordinary pytree leaves, so vmap carries one
+    value per member).  Returns ``(tx, with_schedule)`` where
+    ``with_schedule(opt_state, lr, mom)`` injects the values for one update;
+    ``mom`` is Adam's β₁ (``op='adam'``) or the heavy-ball decay
+    (``op='SGD'`` — pass 0.0 for torch's unscheduled momentum=0,
+    train_model.py:405).  Passing each member's own table values indexed by
+    its own update count reproduces the baked chain's trajectory exactly.
+    """
+    parts = []
+    if grad_clip:
+        parts.append(optax.clip(grad_clip))
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    if op == "adam":
+        mom_key = "b1"
+        parts.append(optax.inject_hyperparams(optax.scale_by_adam)(b1=0.9))
+    elif op == "SGD":
+        # trace(decay=0) reduces to the raw gradient, so one chain shape
+        # serves both scheduled (cycled 0.95→0.85) and unscheduled SGD
+        mom_key = "decay"
+        parts.append(optax.inject_hyperparams(optax.trace)(decay=0.0))
+    else:
+        raise ValueError(f"unknown optimizer {op!r} (use 'adam' or 'SGD')")
+    mom_index = len(parts) - 1
+    lr_index = len(parts)
+    parts.append(
+        optax.inject_hyperparams(optax.scale_by_learning_rate)(
+            learning_rate=lr_max
+        )
+    )
+    tx = optax.chain(*parts)
+
+    def with_schedule(opt_state, lr, mom):
+        st = list(opt_state)
+        s_m = st[mom_index]
+        st[mom_index] = s_m._replace(
+            hyperparams={**s_m.hyperparams, mom_key: jnp.asarray(mom, jnp.float32)}
+        )
+        s_l = st[lr_index]
+        st[lr_index] = s_l._replace(
+            hyperparams={
+                **s_l.hyperparams, "learning_rate": jnp.asarray(lr, jnp.float32)
+            }
+        )
+        return tuple(st)
+
+    return tx, with_schedule
+
+
 def make_train_step(
     model,
     tx: optax.GradientTransformation,

@@ -27,12 +27,20 @@ def tiny_dataset():
 @pytest.fixture(scope="module")
 def seed_datas(tiny_dataset):
     """Four seed_data values whose train subsets are equal-sized (segment
-    counts per recording vary, so not every pair is gangable — exactly the
-    grouping group_gangable exists for)."""
-    probe = [_cfg(seed_data=1100000 + i) for i in range(1, 17)]
-    groups = [g for g in group_gangable(probe, tiny_dataset) if len(g) >= 4]
-    assert groups, "probe range yielded no 4-member gangable group"
-    return [c.seed_data for c in groups[0][:4]]
+    counts per recording vary, so seed_data subsets differ in size).  These
+    tests pin the EQUAL-size gang path, so sizes are matched here directly
+    (group_gangable no longer splits buckets by size — the ragged path
+    handles unequal members; see test_gang_ragged.py)."""
+    from pcgmix_tpu.train.loop import build_splits
+
+    sizes: dict = {}
+    for i in range(1, 17):
+        c = _cfg(seed_data=1100000 + i)
+        tr, _ = build_splits(c, tiny_dataset)
+        sizes.setdefault(len(tr), []).append(c.seed_data)
+    groups = [v for v in sizes.values() if len(v) >= 4]
+    assert groups, "probe range yielded no 4-member equal-sized group"
+    return groups[0][:4]
 
 
 def _cfg(**kw):
@@ -223,12 +231,14 @@ def test_group_gangable_ineligible_are_singletons(tiny_dataset):
 
 
 def test_group_gangable_light_dataset_equivalence(tiny_dataset):
-    """Grouping on the zero-sample-axis copy must bucket exactly like
-    grouping on the full dataset (the selection pipeline never reads
-    sample values)."""
+    """Latent methods still bucket by (train size, test split) — the depth
+    draws need member-uniform step counts — and that grouping runs on the
+    zero-sample-axis copy, which must bucket exactly like the full dataset
+    (the selection pipeline never reads sample values)."""
     from pcgmix_tpu.train.gang import _light_dataset
 
-    cfgs = [_cfg(seed_data=1100000 + i) for i in range(1, 9)]
+    cfgs = [_cfg(seed_data=1100000 + i, method="latentmixup")
+            for i in range(1, 9)]
     full = [
         [c.seed_data for c in g] for g in group_gangable(cfgs, tiny_dataset)
     ]
@@ -245,6 +255,14 @@ def test_group_gangable_light_dataset_equivalence(tiny_dataset):
     light = _light_dataset(tiny_dataset)
     assert list(light["train"]["wav"]) == list(tiny_dataset["train"]["wav"])
     assert light["train"]["data"]["25-45"].shape[-1] == 0
+
+
+def test_group_gangable_merges_unequal_sizes_for_input_methods(tiny_dataset):
+    """Non-latent methods group regardless of split size/test identity —
+    the ragged gang path handles the inequality (test_gang_ragged.py)."""
+    cfgs = [_cfg(seed_data=1100000 + i) for i in range(1, 9)]
+    groups = group_gangable(cfgs, tiny_dataset)
+    assert [len(g) for g in groups] == [8]
 
 
 def test_gang_2d_spectrogram_matches_single_runs():
