@@ -16,11 +16,13 @@ for bs in 128 64 32; do
   for ep in 50 25 10; do
     for lr in 0.01 0.001; do
       # shellcheck disable=SC2086
+      # --gang: the ten folds have unequal train sizes and per-fold test
+      # sets, which the ragged gang path trains as ONE vmapped program
       pcgmix-run --dataset-file "$DAT1D" --dataset UMC --model resnet9 \
         --sig-len 2000 --methods base --n-fractions 1.0 \
         --seeds 1 --seed-datas $FOLDS \
         --num-epochs "$ep" --batch-size "$bs" --lr-max "$lr" \
-        --no-robust --steps-per-dispatch 8
+        --no-robust --steps-per-dispatch 8 --gang
     done
   done
 done
@@ -45,5 +47,5 @@ if [ -n "$DAT2D" ]; then
     --model resnet9 --num-channels 1 \
     --methods base "durratiomixup+1.0" "durmixmagwarp(0.2,4)+1.0" \
     --n-fractions 1.0 --seeds 1 --seed-datas $FOLDS \
-    --num-epochs 50 --batch-size 64 --no-robust --steps-per-dispatch 8
+    --num-epochs 50 --batch-size 64 --no-robust --steps-per-dispatch 8 --gang
 fi
