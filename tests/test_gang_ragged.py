@@ -165,6 +165,31 @@ def test_ragged_physionet_unequal_subsets():
     _tight(gang, singles)
 
 
+def test_ragged_physionet_valid_cv_folds():
+    """valid=True grids (the reference's 5-fold CV mode,
+    dataloader_physionet.py:113-149) gang raggedly: the run seed selects
+    the validation fold (fold = seed−1), so train sizes and eval splits
+    both differ per member."""
+    ds = synthetic_physionet_dict(
+        num_wavs_train=24, num_wavs_test=8, segments_per_wav=3,
+        sig_len=256, seed=7,
+    )
+    cfgs = [
+        TrainConfig(
+            dataset="PhysioNet", model="resnet9-5k", method="durratiomixup",
+            num_epochs=2, batch_size=16, sig_len=256, valid=True,
+            seed=s, op="SGD", save_artifacts=False,
+            loader_parity="numpy",
+        )
+        for s in (1, 2)
+    ]
+    (tr1, te1), (tr2, te2) = (build_splits(c, ds) for c in cfgs)
+    assert set(te1.wav) != set(te2.wav), "CV folds should differ"
+    gang = train_gang(cfgs, ds)
+    singles = [train_model(c, ds) for c in cfgs]
+    _tight(gang, singles)
+
+
 def test_forced_ragged_on_equal_members_matches_equal_path(umc_dataset):
     """Driving EQUAL members through the ragged machinery (all steps
     active, shared test split) reproduces the equal path — isolates the
