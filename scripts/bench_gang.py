@@ -184,6 +184,52 @@ def measure(run_window, reps=3):
     return rates
 
 
+def ragged_overhead(gang_s: int = 8, epochs: int = 3):
+    """Wall-clock of the ragged machinery at ZERO raggedness: the same
+    equal-size members through train_gang's equal path vs the forced
+    ragged path (every step active, so the difference is pure plumbing —
+    the per-leaf jnp.where select, the inject_hyperparams surgery, and the
+    per-member sid/lr/β₁ lanes).  Idle-step waste under real raggedness is
+    analytic on top (the size spread; BENCH.md)."""
+    import time
+
+    from pcgmix_tpu.data import synthetic_physionet_dict
+    from pcgmix_tpu.train import TrainConfig, train_gang
+    from pcgmix_tpu.train.gang import _train_gang_ragged
+    from pcgmix_tpu.train.loop import build_splits
+
+    ds = synthetic_physionet_dict(
+        num_wavs_train=48, num_wavs_test=4, segments_per_wav=8,
+        sig_len=SIG_LEN, seed=0,
+    )
+    cfgs = [
+        TrainConfig(
+            dataset="PhysioNet", model="resnet9", method=METHOD,
+            num_epochs=epochs, batch_size=BATCH, sig_len=SIG_LEN,
+            train_balance=False, save_artifacts=False, loader_parity="numpy",
+            compute_dtype="bfloat16", steps_per_dispatch=SCAN_K, seed=s,
+        )
+        for s in range(1, gang_s + 1)
+    ]
+    splits = [build_splits(c, ds) for c in cfgs]
+    out = {}
+    for name, call in (
+        ("equal_path", lambda: train_gang(cfgs, ds)),
+        ("forced_ragged", lambda: _train_gang_ragged(cfgs, ds, splits)),
+        ("equal_path_control", lambda: train_gang(cfgs, ds)),
+    ):
+        call()  # compile + warm
+        t0 = time.time()
+        call()
+        out[name] = round(time.time() - t0, 3)
+    out["ragged_over_equal"] = round(
+        out["forced_ragged"]
+        / (0.5 * (out["equal_path"] + out["equal_path_control"])),
+        3,
+    )
+    return out
+
+
 def main():
     gang_sizes = [int(x) for x in (sys.argv[1:] or ["4", "8"])]
     results = {}
@@ -207,6 +253,7 @@ def main():
         gang_pallas_error = f"{type(e).__name__}: {e}"
 
     out = {}
+    out["ragged_overhead"] = ragged_overhead(gang_sizes[-1])
     if gang_pallas_error:
         out["gang_pallas_error"] = gang_pallas_error[:300]
     base = float(np.median(results["seq_pallas_off"]))
