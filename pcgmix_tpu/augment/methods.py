@@ -115,6 +115,14 @@ class MethodSpec:
     def enabled(self) -> bool:
         return self.base is not None
 
+    @property
+    def latent(self) -> bool:
+        """Split-forward (latent) method family — latentmixup or any
+        manifold-* variant: the mix applies to an intermediate activation
+        via a per-depth two-part forward (augmentations.py:1494-1534), and
+        the depth/gate draws are seeded by the run's step count."""
+        return self.base == "latentmixup" or bool(self.manifold)
+
 
 def parse_method(method: str, *, spectrogram: bool = False) -> MethodSpec:
     """Parse a method string with the reference's dispatch priority."""

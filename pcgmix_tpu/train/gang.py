@@ -186,7 +186,7 @@ def group_gangable(cfgs: list[TrainConfig], dataset: dict) -> list[list[TrainCon
                 d.pop(f)
             key = (repr(sorted(d.items(), key=lambda kv: kv[0])),)
             spec = parse_method(cfg.method, spectrogram=cfg.spectrogram)
-            if spec.base == "latentmixup" or spec.manifold:
+            if spec.latent:
                 if light is None:  # selection logic without tensor copies
                     light = _light_dataset(dataset)
                 tr, te = build_splits(cfg, light)
@@ -320,6 +320,61 @@ def _cleanup_gang_ckpt(ckpt_mgr) -> None:
     shutil.rmtree(ckpt_dir, ignore_errors=True)
 
 
+def _emit_member_plot_epoch(
+    cfg, perf, run_dir, epoch, steps, train_loss, train_acc,
+    eval_member, staged_member, class_majority, times, lr_list,
+):
+    """One member's plot-epoch bookkeeping, shared by the equal and ragged
+    gang paths (mirrors train_model's per-plot-epoch contract): metric adds,
+    recording-level eval aggregation, performance.pkl save, and plots."""
+    perf.add("epochs", epoch)
+    perf.add("steps", steps)
+    perf.add("train_loss", train_loss)
+    perf.add("train_accuracy", train_acc)
+    test_loss, metrics = aggregate_recording_eval(
+        eval_member, staged_member, class_majority
+    )
+    perf.add("test_loss", test_loss)
+    for k, v in metrics.items():
+        perf.add(k, v)
+    perf.add("times", float(np.sum(times)))
+    if run_dir:
+        utils.save_dict(perf.dict, os.path.join(run_dir, "performance.pkl"))
+        if cfg.plot:
+            from pcgmix_tpu.exp import plotters
+
+            plotters.plot_train_test_acc(
+                perf.dict["train_accuracy"], perf.dict["test_accuracy"],
+                cfg.valid, perf.dict["steps"], run_dir,
+            )
+            plotters.plot_train_test_loss(
+                perf.dict["train_loss"], perf.dict["test_loss"],
+                cfg.valid, perf.dict["steps"], run_dir,
+            )
+            plotters.plot_lr_per_step(lr_list, run_dir)
+            plotters.plot_times(
+                times, list(range(1, len(times) + 1)), run_dir
+            )
+
+
+def _finalize_members(cfgs, perfs, run_dirs, state, lr_lists):
+    """Final per-member artifacts: model.msgpack + performance.pkl (the
+    save is idempotent for normal completions and covers the
+    resume-past-end edge — a crash between the final checkpoint and
+    completion, where no plot epoch runs in the resumed process)."""
+    for s, (cfg, perf) in enumerate(zip(cfgs, perfs)):
+        member_state = jax.tree_util.tree_map(lambda x: x[s], state)
+        if run_dirs[s]:
+            save_checkpoint(
+                os.path.join(run_dirs[s], "model.msgpack"), member_state
+            )
+            utils.save_dict(
+                perf.dict, os.path.join(run_dirs[s], "performance.pkl")
+            )
+        perf.dict["lr_per_step"] = list(lr_lists[s])
+    return [perf.dict for perf in perfs]
+
+
 def train_gang(
     cfgs: list[TrainConfig],
     dataset: dict,
@@ -435,9 +490,7 @@ def train_gang(
     # latentmixup/manifold split-forward methods dispatch per step through a
     # per-depth program (like train_model's latent_steps dict); the depth
     # draw and '+p' gate are step-seeded, hence member-uniform
-    latent_mode = enabled and (
-        engines[0].spec.base == "latentmixup" or engines[0].spec.manifold
-    )
+    latent_mode = enabled and engines[0].spec.latent
 
     def _vmapped(raw, with_plan):
         def member_step(st, idx, rows, plan, epoch, rng):
@@ -692,41 +745,14 @@ def train_gang(
                 for d, t, _ in eval_staged
             ])  # per staged batch: probs (S, Bev, C), losses (S, Bev)
             for s, (cfg, perf) in enumerate(zip(cfgs, perfs)):
-                perf.add("epochs", epoch)
-                perf.add("steps", step_count)
-                perf.add("train_loss", float(losses_np[s].mean()))
-                perf.add(
-                    "train_accuracy",
+                _emit_member_plot_epoch(
+                    cfg, perf, run_dirs[s], epoch, step_count,
+                    float(losses_np[s].mean()),
                     segment_accuracy(preds_np[s], targets_np[s]),
-                )
-                test_loss, metrics = aggregate_recording_eval(
                     [(probs[s], losses[s]) for probs, losses in eval_out],
                     eval_staged, engines[0].spec.class_majority,
+                    times, lr_per_step,
                 )
-                perf.add("test_loss", test_loss)
-                for k, v in metrics.items():
-                    perf.add(k, v)
-                perf.add("times", float(np.sum(times)))
-                if run_dirs[s]:
-                    utils.save_dict(
-                        perf.dict, os.path.join(run_dirs[s], "performance.pkl")
-                    )
-                    if cfg.plot:
-                        from pcgmix_tpu.exp import plotters
-
-                        plotters.plot_train_test_acc(
-                            perf.dict["train_accuracy"],
-                            perf.dict["test_accuracy"],
-                            cfg.valid, perf.dict["steps"], run_dirs[s],
-                        )
-                        plotters.plot_train_test_loss(
-                            perf.dict["train_loss"], perf.dict["test_loss"],
-                            cfg.valid, perf.dict["steps"], run_dirs[s],
-                        )
-                        plotters.plot_lr_per_step(lr_per_step, run_dirs[s])
-                        plotters.plot_times(
-                            times, list(range(1, len(times) + 1)), run_dirs[s]
-                        )
             if progress:
                 accs = [p.dict["test_accuracy"][-1] for p in perfs]
                 print(
@@ -743,21 +769,11 @@ def train_gang(
         if done:
             break
 
-    for s, (cfg, perf) in enumerate(zip(cfgs, perfs)):
-        member_state = jax.tree_util.tree_map(lambda x: x[s], state)
-        if run_dirs[s]:
-            save_checkpoint(
-                os.path.join(run_dirs[s], "model.msgpack"), member_state
-            )
-            # idempotent for normal completions; covers the resume-past-end
-            # edge (crash between the final checkpoint and completion),
-            # where no plot epoch runs in the resumed process
-            utils.save_dict(
-                perf.dict, os.path.join(run_dirs[s], "performance.pkl")
-            )
-        perf.dict["lr_per_step"] = list(lr_per_step)
+    out = _finalize_members(
+        cfgs, perfs, run_dirs, state, [lr_per_step] * len(cfgs)
+    )
     _cleanup_gang_ckpt(ckpt_mgr)
-    return [perf.dict for perf in perfs]
+    return out
 
 
 def _stage_eval_ragged(test_sets, cfg0, put):
@@ -848,9 +864,7 @@ def _train_gang_ragged(
 
     engines = _member_engines(cfgs, train_sets)
     enabled = engines[0].enabled
-    if enabled and (
-        engines[0].spec.base == "latentmixup" or engines[0].spec.manifold
-    ):
+    if enabled and engines[0].spec.latent:
         raise ValueError(
             "ragged gang cannot run latentmixup/manifold methods: the "
             "depth/gate draws are seeded by each member's own step count, "
@@ -996,8 +1010,19 @@ def _train_gang_ragged(
             donate_argnums=(0,),
         )
 
+    # PhysioNet gangs are often ragged in TRAIN size only (mode='test'
+    # ignores seed_data): stage the shared test split once and broadcast it
+    # into the vmapped eval instead of S duplicate HBM copies
+    tests_equal = all(
+        np.array_equal(te.wav, test_sets[0].wav)
+        and np.array_equal(te.label, test_sets[0].label)
+        for te in test_sets[1:]
+    )
     eval_step = make_eval_step(model_eval)
-    gang_eval_step = jax.jit(jax.vmap(eval_step, in_axes=(0, 0, 0, 0)))
+    gang_eval_step = jax.jit(jax.vmap(
+        eval_step,
+        in_axes=(0, 0, None, None) if tests_equal else (0, 0, 0, 0),
+    ))
 
     run_dirs = [
         utils.check_folder(experiment_dir(cfg)) if cfg.save_artifacts else None
@@ -1173,9 +1198,16 @@ def _train_gang_ragged(
             )
             mask_np = np.concatenate(epoch_masks, axis=1).astype(bool)
             if eval_stacked is None:
-                padded_staged, eval_stacked = _stage_eval_ragged(
-                    test_sets, cfg0, put
-                )
+                if tests_equal:
+                    shared = stage_eval(
+                        test_sets[0], cfg0.eval_batch_size, cfg0.num_classes
+                    )
+                    padded_staged = [shared] * S
+                    eval_stacked = [(d, t) for d, t, _ in shared]
+                else:
+                    padded_staged, eval_stacked = _stage_eval_ragged(
+                        test_sets, cfg0, put
+                    )
             eval_out = jax.device_get([
                 gang_eval_step(state.params, state.batch_stats, d, t)
                 for d, t in eval_stacked
@@ -1183,41 +1215,14 @@ def _train_gang_ragged(
             for s, (cfg, perf) in enumerate(zip(cfgs, perfs)):
                 m = mask_np[s]
                 row_m = np.repeat(m, bs)
-                perf.add("epochs", epoch)
-                perf.add("steps", msteps[s])
-                perf.add("train_loss", float(losses_np[s][m].mean()))
-                perf.add(
-                    "train_accuracy",
+                _emit_member_plot_epoch(
+                    cfg, perf, run_dirs[s], epoch, msteps[s],
+                    float(losses_np[s][m].mean()),
                     segment_accuracy(preds_np[s][row_m], targets_np[s][row_m]),
-                )
-                test_loss, metrics = aggregate_recording_eval(
                     [(probs[s], losses[s]) for probs, losses in eval_out],
                     padded_staged[s], engines[0].spec.class_majority,
+                    times, lr_lists[s],
                 )
-                perf.add("test_loss", test_loss)
-                for key, v in metrics.items():
-                    perf.add(key, v)
-                perf.add("times", float(np.sum(times)))
-                if run_dirs[s]:
-                    utils.save_dict(
-                        perf.dict, os.path.join(run_dirs[s], "performance.pkl")
-                    )
-                    if cfg.plot:
-                        from pcgmix_tpu.exp import plotters
-
-                        plotters.plot_train_test_acc(
-                            perf.dict["train_accuracy"],
-                            perf.dict["test_accuracy"],
-                            cfg.valid, perf.dict["steps"], run_dirs[s],
-                        )
-                        plotters.plot_train_test_loss(
-                            perf.dict["train_loss"], perf.dict["test_loss"],
-                            cfg.valid, perf.dict["steps"], run_dirs[s],
-                        )
-                        plotters.plot_lr_per_step(lr_lists[s], run_dirs[s])
-                        plotters.plot_times(
-                            times, list(range(1, len(times) + 1)), run_dirs[s]
-                        )
             if progress:
                 accs = [p.dict["test_accuracy"][-1] for p in perfs]
                 print(
@@ -1232,15 +1237,6 @@ def _train_gang_ragged(
                          "lr_lists": lr_lists},
             )
 
-    for s, (cfg, perf) in enumerate(zip(cfgs, perfs)):
-        member_state = jax.tree_util.tree_map(lambda x: x[s], state)
-        if run_dirs[s]:
-            save_checkpoint(
-                os.path.join(run_dirs[s], "model.msgpack"), member_state
-            )
-            utils.save_dict(
-                perf.dict, os.path.join(run_dirs[s], "performance.pkl")
-            )
-        perf.dict["lr_per_step"] = list(lr_lists[s])
+    out = _finalize_members(cfgs, perfs, run_dirs, state, lr_lists)
     _cleanup_gang_ckpt(ckpt_mgr)
-    return [perf.dict for perf in perfs]
+    return out

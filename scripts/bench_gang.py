@@ -191,8 +191,6 @@ def ragged_overhead(gang_s: int = 8, epochs: int = 3):
     the per-leaf jnp.where select, the inject_hyperparams surgery, and the
     per-member sid/lr/β₁ lanes).  Idle-step waste under real raggedness is
     analytic on top (the size spread; BENCH.md)."""
-    import time
-
     from pcgmix_tpu.data import synthetic_physionet_dict
     from pcgmix_tpu.train import TrainConfig, train_gang
     from pcgmix_tpu.train.gang import _train_gang_ragged
@@ -212,19 +210,29 @@ def ragged_overhead(gang_s: int = 8, epochs: int = 3):
         for s in range(1, gang_s + 1)
     ]
     splits = [build_splits(c, ds) for c in cfgs]
-    out = {}
-    for name, call in (
-        ("equal_path", lambda: train_gang(cfgs, ds)),
-        ("forced_ragged", lambda: _train_gang_ragged(cfgs, ds, splits)),
-        ("equal_path_control", lambda: train_gang(cfgs, ds)),
-    ):
-        call()  # compile + warm
-        t0 = time.time()
-        call()
-        out[name] = round(time.time() - t0, 3)
+
+    def steady(call):
+        """Median post-compile per-epoch wall-clock, read from the run's
+        own cumulative ``times`` series (np.diff drops epoch 1, which
+        carries the compiles).  Each train_gang call builds fresh jit
+        wrappers, so timing across separate calls would measure tracing/
+        compile-cache lookups rather than steady state."""
+        perf0 = call()[0]
+        return float(np.median(np.diff(np.asarray(perf0["times"], float))))
+
+    out = {
+        "equal_s_per_epoch": round(steady(lambda: train_gang(cfgs, ds)), 3),
+        "ragged_s_per_epoch": round(
+            steady(lambda: _train_gang_ragged(cfgs, ds, splits)), 3
+        ),
+        "equal_control_s_per_epoch": round(
+            steady(lambda: train_gang(cfgs, ds)), 3
+        ),
+    }
     out["ragged_over_equal"] = round(
-        out["forced_ragged"]
-        / (0.5 * (out["equal_path"] + out["equal_path_control"])),
+        out["ragged_s_per_epoch"]
+        / (0.5 * (out["equal_s_per_epoch"]
+                  + out["equal_control_s_per_epoch"])),
         3,
     )
     return out
