@@ -153,8 +153,54 @@ def run_grid(
 
     from pcgmix_tpu.train.gang import group_gangable, train_gang
 
-    for group in group_gangable(pending, dataset):
+    def train_deps(deps):
+        """Train missing dependency runs — themselves gangable (they differ
+        only in seed_data/seed: e.g. a salopt grid's per-member 'base'
+        pretrains form their own gang)."""
+        missing = [d for d in deps if not experiment_already_done(d)]
+        for dep_group in group_gangable(missing, dataset):
+            if len(dep_group) >= 2:
+                if progress:
+                    print(
+                        f"gang of {len(dep_group)} (dependency): "
+                        f"{dep_group[0].method} "
+                        f"seed_datas={[c.seed_data for c in dep_group]}"
+                    )
+                train_gang(dep_group, dataset, progress=progress)
+                executed.extend(dep_group)
+            else:
+                if progress:
+                    print(f"run (dependency): {experiment_dir(dep_group[0])}")
+                train_model(dep_group[0], dataset, progress=progress)
+                executed.append(dep_group[0])
+
+    # model_hooks=True: the (salopt…)/(closest…) methods gang too — their
+    # frozen-model planning hooks are wired below after the dependency runs
+    for group in group_gangable(pending, dataset, model_hooks=True):
         if len(group) >= 2:
+            gang_kwargs = {}
+            lat_dep = _latent_dependency(group[0])
+            if lat_dep is not None and not experiment_already_done(lat_dep):
+                if progress:
+                    print(f"run (latent dependency): {experiment_dir(lat_dep)}")
+                train_model(lat_dep, dataset, progress=progress)
+                executed.append(lat_dep)
+                # train_gang auto-loads the frozen model from this run dir
+            sal_deps = [_salopt_dependency(cfg, robust) for cfg in group]
+            if sal_deps[0] is not None:
+                train_deps(sal_deps)
+                from pcgmix_tpu.saliency import make_pretrained_saliency_fn
+
+                providers = []
+                for cfg in group:
+                    def ckpt_dir_for(method, _cfg=cfg):
+                        resolved = _salopt_dependency(_cfg, robust)
+                        return experiment_dir(resolved)
+
+                    providers.append(
+                        make_pretrained_saliency_fn(cfg, ckpt_dir_for)
+                    )
+                gang_kwargs["saliency_model_providers"] = providers
             # the member axis only shards when the gang divides evenly;
             # otherwise run the gang unsharded rather than abort the grid
             n_dev = (
@@ -173,7 +219,10 @@ def run_grid(
                     f"nfrac={group[0].n_fraction} "
                     f"seed_datas={[c.seed_data for c in group]}{note}"
                 )
-            train_gang(group, dataset, n_devices=n_dev, progress=progress)
+            train_gang(
+                group, dataset, n_devices=n_dev, progress=progress,
+                **gang_kwargs,
+            )
             executed.extend(group)
         else:
             run_one(group[0])

@@ -37,13 +37,17 @@ stacked state/batches on a 1-axis mesh ("gang") needs NO collectives at
 all, unlike batch-axis DP which all-reduces gradients every step.  Pass
 ``n_devices`` > 1 (S must divide evenly).
 
-Scope: methods whose plans need no model in the loop — the set the
-resident-corpus path supports (train/loop.py use_resident).  The
-latentmixup/manifold split-forward methods gang too (their depth/gate draws
-are step-seeded, hence member-uniform), dispatched per step through
-per-depth programs like the single-run loop; the scan fusion applies only
-to input-space methods, as in train_model.  :func:`gang_ineligible_reason`
-reports why a config must fall back to
+Scope: the latentmixup/manifold split-forward methods gang (their
+depth/gate draws are step-seeded, hence member-uniform), dispatched per
+step through per-depth programs like the single-run loop; the (salopt…)
+and (closestknn/bins) methods gang through FROZEN-model planning hooks
+(per-member pretrained saliency providers / the shared canonical embedding
+fn — the runner wires both after training the dependency runs), each
+member's hook running on its base-gathered device batch before the vmapped
+update.  Scan fusion applies only to hook-free input-space methods, as in
+train_model.  Out of scope: lc-nointrusion and saliency-cutmix (they read
+the LIVE training model and change the batch row count in-loop).
+:func:`gang_ineligible_reason` reports why a config must fall back to
 :func:`pcgmix_tpu.train.loop.train_model`.
 
 ``times`` in each member's performance dict is the gang's wall-clock (the
@@ -87,13 +91,23 @@ from pcgmix_tpu.train.steps import make_eval_step, make_optimizer, make_train_st
 _MEMBER_FIELDS = ("seed_data", "seed")
 
 
-def gang_ineligible_reason(cfg: TrainConfig) -> Optional[str]:
+def gang_ineligible_reason(
+    cfg: TrainConfig, model_hooks: bool = False
+) -> Optional[str]:
     """Why this config cannot train in a gang (None = eligible).
 
     The constraints mirror the scan dispatch's (train/loop.py use_resident +
     scan_mode): every member's step must be a pure function of (state,
     indices, plan) with one static program shape.  Decidable from the config
     alone, so the grid runner can group eligible points before loading data.
+
+    ``model_hooks=True`` declares the caller will supply the frozen-model
+    planning hooks (per-member salopt saliency providers / the shared
+    latent-embedding fn — what the runner wires after training the
+    dependency runs), which makes the (salopt…) and (closestknn/bins)
+    methods gang-eligible: their hooks read FROZEN checkpoints, so each
+    member's plans stay a pure function of its batch, dispatched per step
+    before the vmapped update (scan fusion off).
     """
     from pcgmix_tpu.augment.methods import parse_method
 
@@ -105,11 +119,17 @@ def gang_ineligible_reason(cfg: TrainConfig) -> Optional[str]:
         return "variability tracking reads per-member host batches"
     spec = parse_method(cfg.method, spectrogram=cfg.spectrogram)
     if spec.base in ("lc-nointrusion", "saliency-cutmix"):
+        # these read the LIVE training model (loss scoring / saliency bins)
+        # and change the batch row count in-loop
         return f"{spec.base} changes the batch row count in-loop"
-    if spec.salopt is not None:
-        return "saliency methods run a model in the planning loop"
-    if spec.pairing in ("closestknn", "closestbins"):
-        return "latent pairing runs a frozen model in the planning loop"
+    if spec.salopt is not None and not model_hooks:
+        return ("saliency planning needs per-member pretrained providers "
+                "(train_gang(saliency_model_providers=…); the runner's "
+                "--gang wires them)")
+    if spec.pairing in ("closestknn", "closestbins") and not model_hooks:
+        return ("latent pairing needs the frozen embedding model "
+                "(train_gang auto-resolves it once its canonical run "
+                "exists; the runner's --gang trains it first)")
     # latentmixup/manifold-* ARE gang-eligible: the depth draw
     # (engine._latent_depth) and the '+p' gate both derive from the
     # step-seeded RNG protocol, so they are member-uniform — the gang
@@ -158,17 +178,21 @@ def _light_dataset(dataset: dict) -> dict:
     return light(dataset)
 
 
-def group_gangable(cfgs: list[TrainConfig], dataset: dict) -> list[list[TrainConfig]]:
+def group_gangable(
+    cfgs: list[TrainConfig], dataset: dict, model_hooks: bool = False
+) -> list[list[TrainConfig]]:
     """Bucket configs into gangs that can train as one program.
 
     Two configs share a bucket when they differ only in ``_MEMBER_FIELDS``
     and are gang-eligible.  Unequal train-split sizes and per-member test
     splits are handled by the ragged gang path (:func:`_train_gang_ragged`),
-    so they do NOT split buckets — EXCEPT for the latent (split-forward)
-    methods, whose depth/gate draws are seeded by each member's own step
-    count and therefore require equal-sized splits to stay member-uniform;
-    those bucket by (train size, test split) as before.  Singleton buckets
-    (and ineligible configs) should run via
+    so they do NOT split buckets — EXCEPT for the methods whose planning is
+    per-member-step-count-seeded or model-hooked (latent split-forward,
+    salopt, closest-pairing): those require the equal-size path and bucket
+    by (train size, test split) as before.  ``model_hooks`` mirrors
+    :func:`gang_ineligible_reason`'s flag (the runner passes True because
+    it wires the frozen-model providers).  Singleton buckets (and
+    ineligible configs) should run via
     :func:`pcgmix_tpu.train.loop.train_model`.  Bucket order follows first
     appearance; members keep input order.
     """
@@ -178,7 +202,7 @@ def group_gangable(cfgs: list[TrainConfig], dataset: dict) -> list[list[TrainCon
     order: list = []
     light = None
     for cfg in cfgs:
-        if gang_ineligible_reason(cfg) is not None:
+        if gang_ineligible_reason(cfg, model_hooks=model_hooks) is not None:
             key = ("ineligible", id(cfg))
         else:
             d = dataclasses.asdict(cfg)
@@ -186,7 +210,11 @@ def group_gangable(cfgs: list[TrainConfig], dataset: dict) -> list[list[TrainCon
                 d.pop(f)
             key = (repr(sorted(d.items(), key=lambda kv: kv[0])),)
             spec = parse_method(cfg.method, spectrogram=cfg.spectrogram)
-            if spec.latent:
+            if (
+                spec.latent
+                or spec.salopt is not None
+                or spec.pairing in ("closestknn", "closestbins")
+            ):
                 if light is None:  # selection logic without tensor copies
                     light = _light_dataset(dataset)
                 tr, te = build_splits(cfg, light)
@@ -381,6 +409,8 @@ def train_gang(
     *,
     n_devices: Optional[int] = None,
     progress: bool = False,
+    saliency_model_providers: Optional[list] = None,
+    latent_feature_fn=None,
 ) -> list[dict]:
     """Train all members simultaneously; returns one performance dict per
     member, each bit-compatible with :func:`train_model`'s output schema
@@ -393,12 +423,25 @@ def train_gang(
     dimension here, controlled solely by this argument (the runner's
     ``--gang-devices``); batch-DP composes with vmap only as nested
     sharding, which these ≤9M-parameter models cannot use profitably.
+
+    Frozen-model planning hooks (the runner wires these after training the
+    dependency runs): ``saliency_model_providers`` — ONE provider per
+    member for (salopt…) methods, each closing over that member's own
+    pretrained checkpoint (saliency.make_pretrained_saliency_fn);
+    ``latent_feature_fn`` — the SHARED frozen embedding fn for
+    closestknn/bins pairing (auto-resolved from the canonical run dir when
+    None, exactly like train_model).  Hook methods dispatch per step (no
+    scan fusion): each member's device batch is gathered from the shared
+    base, its hook runs, and the plan feeds the vmapped update — plans are
+    bit-equal to the standalone runs (frozen checkpoints, same programs).
     """
     if not cfgs:
         raise ValueError("empty gang")
     _validate_members(cfgs)
     cfg0 = cfgs[0]
-    reason = gang_ineligible_reason(cfg0)
+    # hook methods are accepted here (providers enforced below); the
+    # grouping-time decision is gang_ineligible_reason(model_hooks=False)
+    reason = gang_ineligible_reason(cfg0, model_hooks=True)
     if reason is not None:
         raise ValueError(f"config not gang-eligible ({reason}); use train_model")
     S = len(cfgs)
@@ -447,6 +490,27 @@ def train_gang(
     _check_provenance(base_ds, cfgs, train_sets, member_rows)
     base_data = jnp.asarray(base_ds.data)
     base_labels = jnp.asarray(base_ds.label)
+
+    needs_sal = engines[0].needs_pretrained_saliency
+    needs_lat = engines[0].needs_latent_model
+    if needs_sal and (
+        saliency_model_providers is None
+        or len(saliency_model_providers) != S
+    ):
+        raise ValueError(
+            "(salopt…) gang needs ONE saliency provider per member, each "
+            "closing over that member's own pretrained checkpoint — pass "
+            "saliency_model_providers (saliency.make_pretrained_saliency_fn "
+            "per cfg; the runner's --gang wires this after training the "
+            "dependency runs)"
+        )
+    if needs_lat and latent_feature_fn is None:
+        # auto-resolve the canonical frozen latent model, like train_model
+        # (the run config carries no member fields, so one model serves all)
+        from pcgmix_tpu.latent import latent_space_for
+
+        latent_feature_fn = latent_space_for(cfg0).generate
+    hook_mode = needs_sal or needs_lat
 
     selc_es = _selc_turnpoint(cfg0)
     raw_step = make_train_step(
@@ -529,7 +593,9 @@ def train_gang(
         )._raw_step
         gang_step_plain = _vmapped(raw_plain, False)
 
-    scan_k = cfg0.steps_per_dispatch if not latent_mode else 1
+    # hook methods dispatch per step: the frozen-model hook must run on the
+    # CURRENT batch before its plan exists, so steps cannot pre-stack
+    scan_k = cfg0.steps_per_dispatch if not (latent_mode or hook_mode) else 1
     gang_multi = None
     if scan_k > 1:
         def member_multi(st, idx_seq, rows_seq, plan_seq, sids, epoch, rng):
@@ -692,17 +758,38 @@ def train_gang(
                 buf_idx.append(idx_s)
                 buf_rows.append(rows_s)
                 if enabled:
-                    buf_plans.append(
-                        _stack_trees(
-                            [
-                                eng.plan_arrays_or_identity(
-                                    step_count, b["frames"], b["label"],
-                                    b["wav"],
-                                )[0]
-                                for eng, b in zip(engines, batches)
-                            ]
+                    arrs = []
+                    for s, (eng, b) in enumerate(zip(engines, batches)):
+                        kw = {}
+                        if hook_mode:
+                            # the member's device batch, gathered from the
+                            # shared base (bit-equal to its standalone
+                            # staging — provenance-checked above)
+                            rows_dev = jnp.asarray(rows_s[s])
+                            data_dev = jnp.take(base_data, rows_dev, axis=0)
+                            if needs_lat:
+                                kw["latent_fn"] = (
+                                    lambda d=data_dev: latent_feature_fn(d)
+                                )
+                            if needs_sal:
+                                target_dev = jax.nn.one_hot(
+                                    jnp.take(base_labels, rows_dev),
+                                    cfg0.num_classes, dtype=base_data.dtype,
+                                )
+                                kw["saliency_fn"] = (
+                                    lambda mix_model, s=s, d=data_dev,
+                                    t=target_dev, f=b["frames"]:
+                                    saliency_model_providers[s](mix_model)(
+                                        d, t, f
+                                    )
+                                )
+                        arrs.append(
+                            eng.plan_arrays_or_identity(
+                                step_count, b["frames"], b["label"],
+                                b["wav"], **kw,
+                            )[0]
                         )
-                    )
+                    buf_plans.append(_stack_trees(arrs))
                 buf_sids.append(step_count)
             lr_per_step.append(float(lr_table[step_count]))
             step_count += 1
@@ -864,6 +951,12 @@ def _train_gang_ragged(
 
     engines = _member_engines(cfgs, train_sets)
     enabled = engines[0].enabled
+    if engines[0].needs_pretrained_saliency or engines[0].needs_latent_model:
+        raise ValueError(
+            "ragged gang cannot run model-hook methods (salopt / closest "
+            "pairing): group_gangable buckets them by split size and test "
+            "split — members with unequal splits train singly"
+        )
     if enabled and engines[0].spec.latent:
         raise ValueError(
             "ragged gang cannot run latentmixup/manifold methods: the "
