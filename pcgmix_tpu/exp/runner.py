@@ -83,13 +83,42 @@ def run_grid(
     TOGETHER in one vmapped program (pcgmix_tpu.train.gang) — the
     reference runs its ~10-member seed grids strictly sequentially
     (experiments_timeseries.ipynb cell 13).  Points a gang can't take
-    (model-in-the-loop methods, singleton groups, unequal split sizes)
-    fall back to the sequential path; run dirs are identical either way.
-    gang_devices shards the member axis over a device mesh.
+    (lc-nointrusion/saliency-cutmix, singleton groups) fall back to the
+    sequential path.  Run dirs follow the same naming/artifact contract
+    either way; trained weights match up to vmap float reassociation (a
+    gang-trained salopt DEPENDENCY checkpoint therefore differs from a
+    sequentially trained one at that level, and the displacement search's
+    argmax may discretize those low-order differences — the reference's
+    own CUDA reruns are nondeterministic at the same level).
+    gang_devices shards the member axis over a device mesh (dependency
+    gangs shard too).
     """
     executed = []
 
+    def salopt_provider_for(cfg):
+        """The saliency provider for one (salopt…) config, resolving each
+        pretrained checkpoint dir through _salopt_dependency so the gang
+        and sequential paths cannot desynchronize."""
+        from pcgmix_tpu.saliency import make_pretrained_saliency_fn
+
+        def ckpt_dir_for(method, _cfg=cfg):
+            return experiment_dir(_salopt_dependency(_cfg, robust))
+
+        return make_pretrained_saliency_fn(cfg, ckpt_dir_for)
+
+    def already_done(cfg):
+        """Execution-time re-check: a dependency trained earlier in THIS
+        grid pass (e.g. a salopt method listed before 'base') may have
+        completed a pending config after the build-time filter ran."""
+        if skip_done and experiment_already_done(cfg):
+            if progress:
+                print(f"skip (done): {experiment_dir(cfg)}")
+            return True
+        return False
+
     def run_one(cfg):
+        if already_done(cfg):
+            return
         kwargs = {}
         lat_dep = _latent_dependency(cfg)
         if lat_dep is not None and not experiment_already_done(lat_dep):
@@ -106,16 +135,7 @@ def run_grid(
                     print(f"run (salopt dependency): {experiment_dir(dep)}")
                 train_model(dep, dataset, progress=progress)
                 executed.append(dep)
-
-            def ckpt_dir_for(method, _cfg=cfg):
-                resolved = _salopt_dependency(_cfg, robust)
-                return experiment_dir(resolved)
-
-            from pcgmix_tpu.saliency import make_pretrained_saliency_fn
-
-            kwargs["saliency_model_provider"] = make_pretrained_saliency_fn(
-                cfg, ckpt_dir_for
-            )
+            kwargs["saliency_model_provider"] = salopt_provider_for(cfg)
         if progress:
             print(f"run: {experiment_dir(cfg)}")
         train_model(cfg, dataset, progress=progress, **kwargs)
@@ -156,17 +176,24 @@ def run_grid(
     def train_deps(deps):
         """Train missing dependency runs — themselves gangable (they differ
         only in seed_data/seed: e.g. a salopt grid's per-member 'base'
-        pretrains form their own gang)."""
+        pretrains form their own gang, sharded like the main one)."""
         missing = [d for d in deps if not experiment_already_done(d)]
         for dep_group in group_gangable(missing, dataset):
             if len(dep_group) >= 2:
+                n_dev = (
+                    gang_devices
+                    if gang_devices and len(dep_group) % gang_devices == 0
+                    else None
+                )
                 if progress:
                     print(
                         f"gang of {len(dep_group)} (dependency): "
                         f"{dep_group[0].method} "
                         f"seed_datas={[c.seed_data for c in dep_group]}"
                     )
-                train_gang(dep_group, dataset, progress=progress)
+                train_gang(
+                    dep_group, dataset, n_devices=n_dev, progress=progress
+                )
                 executed.extend(dep_group)
             else:
                 if progress:
@@ -177,6 +204,11 @@ def run_grid(
     # model_hooks=True: the (salopt…)/(closest…) methods gang too — their
     # frozen-model planning hooks are wired below after the dependency runs
     for group in group_gangable(pending, dataset, model_hooks=True):
+        # a dependency pass earlier in THIS loop may have finished some
+        # pending configs (a salopt method listed before its own 'base')
+        group = [c for c in group if not already_done(c)]
+        if not group:
+            continue
         if len(group) >= 2:
             gang_kwargs = {}
             lat_dep = _latent_dependency(group[0])
@@ -189,18 +221,9 @@ def run_grid(
             sal_deps = [_salopt_dependency(cfg, robust) for cfg in group]
             if sal_deps[0] is not None:
                 train_deps(sal_deps)
-                from pcgmix_tpu.saliency import make_pretrained_saliency_fn
-
-                providers = []
-                for cfg in group:
-                    def ckpt_dir_for(method, _cfg=cfg):
-                        resolved = _salopt_dependency(_cfg, robust)
-                        return experiment_dir(resolved)
-
-                    providers.append(
-                        make_pretrained_saliency_fn(cfg, ckpt_dir_for)
-                    )
-                gang_kwargs["saliency_model_providers"] = providers
+                gang_kwargs["saliency_model_providers"] = [
+                    salopt_provider_for(cfg) for cfg in group
+                ]
             # the member axis only shards when the gang divides evenly;
             # otherwise run the gang unsharded rather than abort the grid
             n_dev = (

@@ -659,12 +659,18 @@ def train_gang(
                         perf.dict[k] = list(v)
                 times = list(saved.get("times", []))
                 lr_per_step = list(saved.get("lr_per_step", []))
-            if step_count and engines[0].enabled:
-                # every gang-eligible method is hook-free: bring each
-                # member engine's cross-step RNG mirrors to where its
-                # uninterrupted run would be (exact resume; replay_plan_rng)
-                from pcgmix_tpu.train.loop import replay_plan_rng
+            from pcgmix_tpu.train.loop import (
+                _engine_rng_replayable,
+                replay_plan_rng,
+            )
 
+            if step_count and _engine_rng_replayable(engines[0]):
+                # hook-free methods: bring each member engine's cross-step
+                # RNG mirrors to where its uninterrupted run would be (exact
+                # resume).  Hook methods (salopt/closest pairing) cannot
+                # replay without their frozen-model hooks — post-resume
+                # plans restart the mirror stream, matching train_model's
+                # resume semantics for them (disclosed in PARITY.md)
                 for eng, tr, cfg in zip(engines, train_sets, cfgs):
                     replay_plan_rng(eng, tr, cfg, step_count)
             if progress:
@@ -1148,9 +1154,14 @@ def _train_gang_ragged(
                     perf.dict[k] = list(v)
             times = list(saved.get("times", []))
             lr_lists = [list(x) for x in saved.get("lr_lists", lr_lists)]
-        if enabled:
-            from pcgmix_tpu.train.loop import replay_plan_rng
+        from pcgmix_tpu.train.loop import (
+            _engine_rng_replayable,
+            replay_plan_rng,
+        )
 
+        if _engine_rng_replayable(engines[0]):
+            # (ragged gangs reject hook methods, so this is every enabled
+            # ragged engine — the guard keeps the two resume paths uniform)
             for eng, tr, cfg, ms in zip(engines, train_sets, cfgs, msteps):
                 replay_plan_rng(eng, tr, cfg, ms)
         if progress:

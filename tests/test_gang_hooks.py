@@ -132,6 +132,62 @@ def test_closest_pairing_gang_matches_singles(tmp_path, equal_seed_datas):
     _tight(gang, singles)
 
 
+def test_salopt_gang_checkpoint_resume_completes(baselines, equal_seed_datas,
+                                                 tmp_path, monkeypatch):
+    """Crash mid-salopt-gang → rerun resumes from the stacked checkpoint
+    and COMPLETES.  Hook engines cannot replay their RNG mirrors without
+    the frozen-model hooks, so post-resume plans restart the stream —
+    train_model's documented resume semantics for model-hook methods
+    (PARITY.md); the regression here is the crash, not bit parity."""
+    from pcgmix_tpu.train.checkpoint import CheckpointManager
+
+    root = str(tmp_path / "resume")
+
+    def cfgs():
+        return [
+            _cfg(root, seed_data=sd, method="(saloptenv)durratiomixup",
+                 num_epochs=3, checkpoint_every=1, save_artifacts=True)
+            for sd in equal_seed_datas
+        ]
+
+    def providers():
+        out = []
+        for cfg in cfgs():
+            def ckpt_dir_for(method, _cfg=cfg):
+                dep = copy.deepcopy(_cfg)
+                dep.method = method
+                dep.save_artifacts = True
+                dep.num_epochs = 2  # the baselines fixture's config
+                dep.checkpoint_every = 0
+                dep.experiments_root = baselines
+                return experiment_dir(dep)
+
+            out.append(make_pretrained_saliency_fn(cfg, ckpt_dir_for))
+        return out
+
+    calls = {"n": 0}
+    orig_save = CheckpointManager.save
+
+    def crashing_save(self, step, state, metrics=None):
+        orig_save(self, step, state, metrics)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash")
+
+    monkeypatch.setattr(CheckpointManager, "save", crashing_save)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        train_gang(cfgs(), DS, saliency_model_providers=providers())
+    monkeypatch.setattr(CheckpointManager, "save", orig_save)
+
+    resumed = train_gang(cfgs(), DS, saliency_model_providers=providers())
+    for r in resumed:
+        assert np.isfinite(r["train_loss"]).all()
+        assert r["epochs"][-1] == 3
+        assert os.path.exists(
+            os.path.join(experiment_dir(cfgs()[0]), "model.msgpack")
+        )
+
+
 def test_runner_gangs_salopt_with_dependency_gang(tmp_path, capsys,
                                                   equal_seed_datas):
     """run_grid --gang on a salopt grid: the missing per-member baseline
