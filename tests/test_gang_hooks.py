@@ -132,6 +132,33 @@ def test_closest_pairing_gang_matches_singles(tmp_path, equal_seed_datas):
     _tight(gang, singles)
 
 
+def test_salopt_gang_mesh_matches_single_device(baselines, equal_seed_datas):
+    """Hook planning happens OUTSIDE the sharded program (per-member device
+    batches, frozen checkpoints); the plans then feed the member-axis
+    sharded update — numerically the same program as unsharded."""
+    root = baselines
+    cfgs = [
+        _cfg(root, seed_data=sd, method="(saloptenv)durratiomixup")
+        for sd in equal_seed_datas
+    ]
+
+    def provider_for(cfg):
+        def ckpt_dir_for(method, _cfg=cfg):
+            dep = copy.deepcopy(_cfg)
+            dep.method = method
+            dep.save_artifacts = True
+            return experiment_dir(dep)
+
+        return make_pretrained_saliency_fn(cfg, ckpt_dir_for)
+
+    providers = [provider_for(c) for c in cfgs]
+    plain = train_gang(cfgs, DS, saliency_model_providers=providers)
+    meshed = train_gang(
+        cfgs, DS, saliency_model_providers=providers, n_devices=2
+    )
+    _tight(meshed, plain)
+
+
 def test_salopt_gang_checkpoint_resume_completes(baselines, equal_seed_datas,
                                                  tmp_path, monkeypatch):
     """Crash mid-salopt-gang → rerun resumes from the stacked checkpoint
