@@ -67,6 +67,8 @@ def run_grid(
     progress: bool = True,
     gang: bool = False,
     gang_devices=None,
+    gang_max_size=None,
+    gang_fallback: bool = True,
 ) -> list[TrainConfig]:
     """Run every grid point, skipping finished runs.  Returns the configs
     that were executed.
@@ -91,7 +93,13 @@ def run_grid(
     argmax may discretize those low-order differences — the reference's
     own CUDA reruns are nondeterministic at the same level).
     gang_devices shards the member axis over a device mesh (dependency
-    gangs shard too).
+    gangs shard too).  gang_max_size chunks larger groups into sub-gangs
+    of at most that many members (bounds the stacked state's HBM: S copies
+    of params/opt-state plus S× step activations).  gang_fallback (default
+    True) re-runs a gang's members sequentially when the gang program
+    fails at runtime (e.g. out of device memory at an ambitious S) instead
+    of aborting the grid — resume-skip keeps the fallback from redoing
+    finished work; pass False to surface the failure (debugging).
     """
     executed = []
 
@@ -173,12 +181,40 @@ def run_grid(
 
     from pcgmix_tpu.train.gang import group_gangable, train_gang
 
+    def chunks(group):
+        k = gang_max_size
+        if not k or len(group) <= k:
+            return [group]
+        return [group[i:i + k] for i in range(0, len(group), k)]
+
+    def gang_or_fallback(members, n_dev, label, **kwargs):
+        """Run one gang; on runtime failure (fallback enabled) train the
+        members sequentially instead of aborting the grid."""
+        try:
+            train_gang(
+                members, dataset, n_devices=n_dev, progress=progress,
+                **kwargs,
+            )
+            executed.extend(members)
+        except Exception as e:  # noqa: BLE001 - deliberate grid resilience
+            if not gang_fallback:
+                raise
+            print(
+                f"gang of {len(members)} ({label}) FAILED "
+                f"({type(e).__name__}: {e}) — falling back to sequential "
+                f"runs (pass gang_fallback=False / --no-gang-fallback to "
+                f"surface gang failures instead)"
+            )
+            for cfg in members:
+                run_one(cfg)
+
     def train_deps(deps):
         """Train missing dependency runs — themselves gangable (they differ
         only in seed_data/seed: e.g. a salopt grid's per-member 'base'
         pretrains form their own gang, sharded like the main one)."""
         missing = [d for d in deps if not experiment_already_done(d)]
-        for dep_group in group_gangable(missing, dataset):
+        for full_dep_group in group_gangable(missing, dataset):
+          for dep_group in chunks(full_dep_group):
             if len(dep_group) >= 2:
                 n_dev = (
                     gang_devices
@@ -191,10 +227,7 @@ def run_grid(
                         f"{dep_group[0].method} "
                         f"seed_datas={[c.seed_data for c in dep_group]}"
                     )
-                train_gang(
-                    dep_group, dataset, n_devices=n_dev, progress=progress
-                )
-                executed.extend(dep_group)
+                gang_or_fallback(dep_group, n_dev, "dependency")
             else:
                 if progress:
                     print(f"run (dependency): {experiment_dir(dep_group[0])}")
@@ -203,7 +236,8 @@ def run_grid(
 
     # model_hooks=True: the (salopt…)/(closest…) methods gang too — their
     # frozen-model planning hooks are wired below after the dependency runs
-    for group in group_gangable(pending, dataset, model_hooks=True):
+    for full_group in group_gangable(pending, dataset, model_hooks=True):
+      for group in chunks(full_group):
         # a dependency pass earlier in THIS loop may have finished some
         # pending configs (a salopt method listed before its own 'base')
         group = [c for c in group if not already_done(c)]
@@ -242,11 +276,7 @@ def run_grid(
                     f"nfrac={group[0].n_fraction} "
                     f"seed_datas={[c.seed_data for c in group]}{note}"
                 )
-            train_gang(
-                group, dataset, n_devices=n_dev, progress=progress,
-                **gang_kwargs,
-            )
-            executed.extend(group)
+            gang_or_fallback(group, n_dev, group[0].method, **gang_kwargs)
         else:
             run_one(group[0])
     return executed
@@ -325,6 +355,16 @@ def main(argv=None):
         help="shard the gang's member axis over this many devices "
              "(zero-collective seed parallelism; gang size must divide)",
     )
+    p.add_argument(
+        "--gang-max-size", type=int, default=None,
+        help="chunk larger gangs into sub-gangs of at most this many "
+             "members (bounds the stacked state's HBM footprint)",
+    )
+    p.add_argument(
+        "--no-gang-fallback", action="store_true",
+        help="abort the grid when a gang program fails at runtime instead "
+             "of re-running its members sequentially",
+    )
     args = p.parse_args(argv)
 
     dataset = utils.file2dict(args.dataset_file)
@@ -359,6 +399,8 @@ def main(argv=None):
         robust=not args.no_robust,
         gang=args.gang,
         gang_devices=args.gang_devices,
+        gang_max_size=args.gang_max_size,
+        gang_fallback=not args.no_gang_fallback,
     )
 
 

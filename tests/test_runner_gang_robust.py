@@ -1,0 +1,93 @@
+"""Grid-runner gang robustness: sub-gang chunking (--gang-max-size) and
+sequential fallback when a gang program fails at runtime
+(--no-gang-fallback disables)."""
+
+import glob
+import os
+
+import pytest
+
+from pcgmix_tpu.data import synthetic_physionet_dict
+from pcgmix_tpu.exp.runner import run_grid
+from pcgmix_tpu.train import TrainConfig
+from pcgmix_tpu.train.loop import build_splits
+
+DS = synthetic_physionet_dict(
+    num_wavs_train=24, num_wavs_test=6, segments_per_wav=3, sig_len=256, seed=7
+)
+
+
+def _base(root):
+    return TrainConfig(
+        dataset="PhysioNet", model="resnet9-5k", num_epochs=1, batch_size=16,
+        sig_len=256, n_fraction=0.5, op="SGD", experiments_root=str(root),
+        loader_parity="numpy", plot=False,
+    )
+
+
+@pytest.fixture(scope="module")
+def four_equal_seed_datas():
+    sizes: dict = {}
+    for i in range(1, 17):
+        c = _base("/tmp")
+        c.seed_data = 1100000 + i
+        tr, _ = build_splits(c, DS)
+        sizes.setdefault(len(tr), []).append(1100000 + i)
+    groups = [v for v in sizes.values() if len(v) >= 4]
+    assert groups, "no 4-member equal-sized group in probe range"
+    return groups[0][:4]
+
+
+def test_gang_max_size_chunks_groups(tmp_path, capsys, four_equal_seed_datas):
+    ran = run_grid(
+        _base(tmp_path), DS, ["durratiomixup"], [0.5], [1],
+        seed_datas=four_equal_seed_datas, robust=False, gang=True,
+        gang_max_size=2, progress=True,
+    )
+    out = capsys.readouterr().out
+    assert out.count("gang of 2:") == 2  # 4 members → two sub-gangs
+    assert "gang of 4" not in out
+    assert len(ran) == 4
+    done = glob.glob(os.path.join(str(tmp_path), "*", "performance.pkl"))
+    assert len(done) == 4
+
+
+def test_gang_runtime_failure_falls_back_sequential(
+    tmp_path, capsys, four_equal_seed_datas, monkeypatch
+):
+    """A gang program that dies at runtime (e.g. device OOM at an ambitious
+    member count) must not abort the grid: members re-run sequentially and
+    every run dir still lands."""
+    import pcgmix_tpu.train.gang as gang_mod
+
+    def boom(*a, **k):
+        raise RuntimeError("RESOURCE_EXHAUSTED: simulated device OOM")
+
+    monkeypatch.setattr(gang_mod, "train_gang", boom)
+    sds = four_equal_seed_datas[:2]
+    ran = run_grid(
+        _base(tmp_path), DS, ["durratiomixup"], [0.5], [1],
+        seed_datas=sds, robust=False, gang=True, progress=True,
+    )
+    out = capsys.readouterr().out
+    assert "FAILED" in out and "falling back to sequential" in out
+    assert len(ran) == 2
+    done = glob.glob(os.path.join(str(tmp_path), "*", "performance.pkl"))
+    assert len(done) == 2
+
+
+def test_no_gang_fallback_surfaces_failure(
+    tmp_path, four_equal_seed_datas, monkeypatch
+):
+    import pcgmix_tpu.train.gang as gang_mod
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated device OOM")
+
+    monkeypatch.setattr(gang_mod, "train_gang", boom)
+    with pytest.raises(RuntimeError, match="simulated device OOM"):
+        run_grid(
+            _base(tmp_path), DS, ["durratiomixup"], [0.5], [1],
+            seed_datas=four_equal_seed_datas[:2], robust=False, gang=True,
+            gang_fallback=False, progress=False,
+        )
