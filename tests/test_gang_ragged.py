@@ -38,10 +38,14 @@ def _umc_cfg(sd, **kw):
     return TrainConfig(**d)
 
 
-def _tight(gang, singles, rtol=1e-3):
+def _tight(gang, singles, rtol=1e-3, atol=0.0):
     for g, s in zip(gang, singles):
-        np.testing.assert_allclose(g["train_loss"], s["train_loss"], rtol=rtol)
-        np.testing.assert_allclose(g["test_loss"], s["test_loss"], rtol=rtol)
+        np.testing.assert_allclose(
+            g["train_loss"], s["train_loss"], rtol=rtol, atol=atol
+        )
+        np.testing.assert_allclose(
+            g["test_loss"], s["test_loss"], rtol=rtol, atol=atol
+        )
         assert g["steps"] == s["steps"]
         assert g["epochs"] == s["epochs"]
         assert g["test_accuracy"] == s["test_accuracy"]
@@ -201,6 +205,54 @@ def test_forced_ragged_on_equal_members_matches_equal_path(umc_dataset):
     equal = train_gang(cfgs, umc_dataset)
     ragged = _train_gang_ragged(cfgs, umc_dataset, splits)
     _tight(ragged, equal)
+
+
+def test_ragged_production_config_smoke(umc_dataset):
+    """The shipping fast config composes with raggedness: bf16 compute +
+    K-step scan dispatch + vmap-batched Pallas mix kernels (interpret mode
+    on CPU).  Smoke-level (bf16 shifts values): finite losses, correct
+    per-member step counts, eval ran."""
+    cfgs = [
+        _umc_cfg(sd, method="durmixmagwarp(0.2,4)+0.8",
+                 compute_dtype="bfloat16", steps_per_dispatch=2,
+                 use_pallas=True, pallas_interpret=True)
+        for sd in (1, 2)
+    ]
+    gang = train_gang(cfgs, umc_dataset)
+    steps = [p["steps"][-1] for p in gang]
+    assert steps[0] != steps[1], "fixture should be ragged"
+    for p in gang:
+        assert np.isfinite(np.asarray(p["train_loss"], np.float64)).all()
+        assert len(p["test_accuracy"]) >= 2
+
+
+def test_ragged_2d_spectrogram_cv_folds():
+    """2-D (spectrogram) ragged gang via valid=True CV folds — per-member
+    validation splits and train sizes on the channelled from_dict base."""
+    from pcgmix_tpu.data import synthetic_spectrogram_dict
+
+    ds = synthetic_spectrogram_dict(num_wavs_train=16, num_wavs_test=6,
+                                    size=32)
+    cfgs = [
+        TrainConfig(
+            dataset="PhysioNet(spec128)", model="resnet9",
+            method="durratiomixup", num_epochs=2, batch_size=8,
+            valid=True, seed=s, op="SGD", save_artifacts=False,
+            loader_parity="numpy",
+        )
+        for s in (1, 2)
+    ]
+    (tr1, te1), (tr2, te2) = (build_splits(c, ds) for c in cfgs)
+    assert set(te1.wav) != set(te2.wav), "CV folds should differ"
+    gang = train_gang(cfgs, ds)
+    singles = [train_model(c, ds) for c in cfgs]
+    # the 2-D model's vmapped spatial-BN reductions amplify reassociation
+    # well past the 1-D level even under SGD (measured ~0.5% by epoch 2;
+    # the equal-path 2-D test is loose for the same reason) — the sharp
+    # ragged semantics are pinned by the 1-D SGD tests above, which share
+    # all the machinery; here the discriminative member↔data pairing check
+    # carries the semantic weight
+    _assert_member_parity(gang, singles, loss_rtol=8e-2, loss_atol=1e-2)
 
 
 def test_equal_members_route_to_equal_path(umc_dataset, monkeypatch):
