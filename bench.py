@@ -18,8 +18,9 @@ Methodology (round-2 overhaul):
     MEASURE_STEPS steps each, plus the (max-min)/median spread;
   * MFU is estimated from XLA's compiled cost analysis (flops per step /
     wall-time per step / chip peak);
-  * the CPU reference baseline runs >=10 full steps (cached in
-    .bench_cpu_baseline.json; delete the file to re-measure).
+  * the CPU reference baseline runs >=30 full steps (cached in
+    .bench_cpu_baseline.json keyed on the step count; delete the file to
+    re-measure).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "samples/sec/chip", "vs_baseline": N,
@@ -42,7 +43,7 @@ MEASURE_STEPS = 48
 WINDOWS = 5
 SCAN_K = 8  # headline mode fuses K steps per dispatch (lax.scan), amortizing
             # the per-dispatch host→device latency (see BENCH.md)
-CPU_STEPS = 10
+CPU_STEPS = 30
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cpu_baseline.json")
 CACHE_KEY = f"resnet9-b{BATCH}-t{SIG_LEN}-c{CHANNELS}-durmixmagwarp-s{CPU_STEPS}"
 
