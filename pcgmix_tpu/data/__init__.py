@@ -14,6 +14,7 @@ from pcgmix_tpu.data.loader import EpochIterator, eval_batches
 from pcgmix_tpu.data.physionet import physionet_split
 from pcgmix_tpu.data.umc import umc_split
 from pcgmix_tpu.data.synthetic import (
+    synthetic_effect_dict,
     synthetic_physionet_dict,
     synthetic_physionet_full_dict,
     synthetic_spectrogram_dict,
@@ -26,6 +27,7 @@ __all__ = [
     "eval_batches",
     "physionet_split",
     "umc_split",
+    "synthetic_effect_dict",
     "synthetic_physionet_dict",
     "synthetic_physionet_full_dict",
     "synthetic_spectrogram_dict",

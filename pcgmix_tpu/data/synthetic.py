@@ -79,6 +79,114 @@ def synthetic_physionet_dict(
     }
 
 
+def synthetic_effect_dict(
+    num_wavs_train: int = 240,
+    num_wavs_test: int = 200,
+    segments_per_wav: int = 4,
+    sig_len: int = 2500,
+    seed: int = 0,
+    murmur_amp: float = 0.35,
+    confounder_amp: float = 0.8,
+    noise_amp: float = 0.25,
+    gain_range: tuple = (0.6, 1.4),
+) -> dict:
+    """Synthetic corpus engineered so segment-aligned mixing provably adds
+    information — the scientific-replication fixture (VERDICT r3 item 2).
+
+    The *only* label-reliable feature is a systolic murmur: band-limited
+    noise of amplitude ``murmur_amp`` drawn fresh per cycle in the systole
+    window of class-1 recordings — the mechanism the real PCGmix paper
+    targets (murmurs between S1 and S2).  Everything else is
+    label-INDEPENDENT per-recording nuisance a small-n model can memorize:
+
+    * a per-recording gain ``g ~ U[gain_range]`` on the whole signal,
+    * a per-recording diastolic tone (random frequency 50-150 Hz, random
+      amplitude, random phase) repeated in every cycle of that recording,
+    * per-recording S1/S2 pitch jitter.
+
+    With few training recordings (low ``n_fraction``) these idiosyncrasies
+    correlate with the label by chance and a high-capacity model latches on;
+    they do not transfer to test recordings.  ``durratiomixup``
+    (reference augmentations.py:289-338) blends two same-class recordings
+    *per segment*, so the mixed sample carries an attenuated superposition
+    of two unrelated confounders while the murmur contrast persists (two
+    independent murmur draws blend to std sqrt(lam^2+(1-lam)^2) in [0.71,1]
+    of one draw — still present; the zero-murmur class stays zero).  The
+    mix is only label-preserving because it is segment-ALIGNED: the murmur
+    never bleeds outside systole.  Vanilla training sees each confounder
+    un-diluted every epoch.  See scripts/replicate_synthetic.py for the
+    grid that measures the effect (results_final_full.ipynb cell 4 shape).
+    """
+    rng = np.random.default_rng(seed)
+    bands = list(MODEL_BANDS) + [WIDE_BAND]
+
+    def make_split(num_wavs, prefix):
+        data = {b: [] for b in bands}
+        labels, frames, wavs, sq = [], [], [], []
+        for w in range(num_wavs):
+            label = int(w % 2)
+            subset = "abcdef"[(w // 2) % 6]
+            name = f"{subset}{prefix}{w:04d}"
+            # per-RECORDING nuisance (shared by all cycles of this wav)
+            gain = rng.uniform(*gain_range)
+            conf_freq = rng.uniform(50.0, 150.0)
+            conf_amp = confounder_amp * rng.uniform(0.5, 1.0)
+            conf_phase = rng.uniform(0.0, 2 * np.pi)
+            s1_freq = 30.0 * rng.uniform(0.85, 1.15)
+            s2_freq = s1_freq * 1.3
+            for _ in range(segments_per_wav):
+                scale = sig_len / 2500.0
+                lo = np.maximum((np.array([80, 150, 60, 300]) * scale), 4).astype(int)
+                hi = np.maximum((np.array([140, 350, 120, 700]) * scale), 8).astype(int)
+                lens = rng.integers(lo, hi)
+                f = np.concatenate([[0], np.cumsum(lens)])
+                murmur = (
+                    murmur_amp * rng.standard_normal(lens[1])
+                    if label == 1 else None
+                )
+                base_noise = noise_amp * rng.standard_normal(f[4])
+                dia_t = np.arange(lens[3])
+                conf = conf_amp * np.sin(
+                    2 * np.pi * conf_freq * dia_t / 1000.0 + conf_phase
+                )
+                for b_i, b in enumerate(bands):
+                    jitter = 1.0 + 0.15 * b_i
+                    sig = np.zeros(sig_len, np.float32)
+                    sig[f[0] : f[1]] = 2.0 * np.sin(
+                        2 * np.pi * s1_freq * jitter * np.arange(lens[0]) / 1000.0
+                    )
+                    sig[f[2] : f[3]] = 1.5 * np.sin(
+                        2 * np.pi * s2_freq * jitter * np.arange(lens[2]) / 1000.0
+                    )
+                    sig[f[3] : f[4]] += conf
+                    sig[: f[4]] += base_noise
+                    if murmur is not None:
+                        sig[f[1] : f[2]] += murmur
+                    sig[: f[4]] *= gain
+                    data[b].append(sig)
+                labels.append(label)
+                frames.append(f)
+                wavs.append(name)
+                sq.append(1)
+        return {
+            "data": {
+                b: (np.stack(v) if v else np.zeros((0, sig_len), np.float32))
+                for b, v in data.items()
+            },
+            "label": np.array(labels, np.int64),
+            "frames": (
+                np.stack(frames) if frames else np.zeros((0, 5), np.int64)
+            ),
+            "wav": np.array(wavs, object),
+            "sig_qual": np.array(sq, np.int64),
+        }
+
+    return {
+        "train": make_split(num_wavs_train, "tr"),
+        "test": make_split(num_wavs_test, "te"),
+    }
+
+
 def synthetic_physionet_full_dict(
     num_wavs_train: int = 16,
     num_wavs_test: int = 6,

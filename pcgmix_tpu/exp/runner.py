@@ -95,7 +95,9 @@ def run_grid(
     gang_devices shards the member axis over a device mesh (dependency
     gangs shard too).  gang_max_size chunks larger groups into sub-gangs
     of at most that many members (bounds the stacked state's HBM: S copies
-    of params/opt-state plus S× step activations).  gang_fallback (default
+    of params/opt-state plus S× step activations); None (default) derives
+    the cap from device memory via train.gang.estimate_gang_max_size, 0
+    disables chunking entirely, any other value is the manual override.  gang_fallback (default
     True) re-runs a gang's members sequentially when the gang program
     fails at runtime (e.g. out of device memory at an ambitious S) instead
     of aborting the grid — resume-skip keeps the fallback from redoing
@@ -179,10 +181,46 @@ def run_grid(
             run_one(cfg)
         return executed
 
-    from pcgmix_tpu.train.gang import group_gangable, train_gang
+    from pcgmix_tpu.train.gang import (
+        estimate_gang_max_size, group_gangable, train_gang,
+    )
+
+    def _train_rows():
+        d = (
+            dataset["train"]
+            if "train" in dataset and "test" in dataset else dataset
+        )
+        return len(d["label"])
+
+    auto_cache: dict = {}
+
+    def auto_max_size(cfg):
+        """Memory-derived default gang cap (estimate_gang_max_size):
+        gang_max_size=None asks for it; an explicit 0 means unlimited and
+        any other value is the manual override."""
+        key = (cfg.model, cfg.dataset, cfg.batch_size, cfg.sig_len,
+               cfg.op, cfg.compute_dtype, cfg.num_channels)
+        if key not in auto_cache:
+            rows = _train_rows()
+            corpus_bytes = (
+                rows * cfg.sig_len * cfg.sig_len * 4 if cfg.spectrogram
+                else rows * cfg.num_channels * cfg.sig_len * 4
+            )
+            auto_cache[key] = estimate_gang_max_size(
+                cfg, train_size=rows, corpus_bytes=corpus_bytes
+            )
+            if progress:
+                print(
+                    f"gang auto-size: S_max={auto_cache[key]} "
+                    f"({cfg.model}, batch {cfg.batch_size}, {cfg.op}, "
+                    f"{cfg.compute_dtype}) — override with --gang-max-size"
+                )
+        return auto_cache[key]
 
     def chunks(group):
         k = gang_max_size
+        if k is None:
+            k = auto_max_size(group[0])
         if not k or len(group) <= k:
             return [group]
         return [group[i:i + k] for i in range(0, len(group), k)]
@@ -358,7 +396,10 @@ def main(argv=None):
     p.add_argument(
         "--gang-max-size", type=int, default=None,
         help="chunk larger gangs into sub-gangs of at most this many "
-             "members (bounds the stacked state's HBM footprint)",
+             "members (bounds the stacked state's HBM footprint).  Default "
+             "(unset): derived from device memory — params + opt state + "
+             "S× step activations vs the backend's reported HBM "
+             "(train.gang.estimate_gang_max_size); 0 = unlimited",
     )
     p.add_argument(
         "--no-gang-fallback", action="store_true",

@@ -37,16 +37,19 @@ stacked state/batches on a 1-axis mesh ("gang") needs NO collectives at
 all, unlike batch-axis DP which all-reduces gradients every step.  Pass
 ``n_devices`` > 1 (S must divide evenly).
 
-Scope: the latentmixup/manifold split-forward methods gang (their
-depth/gate draws are step-seeded, hence member-uniform), dispatched per
-step through per-depth programs like the single-run loop; the (salopt…)
-and (closestknn/bins) methods gang through FROZEN-model planning hooks
+Scope: the latentmixup/manifold split-forward methods gang — equal-size
+members share member-uniform step-seeded draws and dispatch one per-depth
+program per step like the single-run loop; RAGGED members' draws diverge
+and dispatch per DRAW GROUP (one per-depth program per distinct draw per
+lockstep position, masked to that draw's members).  The (salopt…) and
+(closestknn/bins) methods gang through FROZEN-model planning hooks
 (per-member pretrained saliency providers / the shared canonical embedding
 fn — the runner wires both after training the dependency runs), each
 member's hook running on its base-gathered device batch before the vmapped
-update.  Scan fusion applies only to hook-free input-space methods, as in
-train_model.  Out of scope: lc-nointrusion and saliency-cutmix (they read
-the LIVE training model and change the batch row count in-loop).
+update, in both the equal and ragged paths.  Scan fusion applies only to
+hook-free input-space methods, as in train_model.  Out of scope:
+lc-nointrusion and saliency-cutmix (they read the LIVE training model and
+change the batch row count in-loop).
 :func:`gang_ineligible_reason` reports why a config must fall back to
 :func:`pcgmix_tpu.train.loop.train_model`.
 
@@ -154,30 +157,6 @@ def _validate_members(cfgs: list[TrainConfig]) -> None:
             )
 
 
-def _light_dataset(dataset: dict) -> dict:
-    """A zero-sample-axis copy for split-selection-only work: the grouping
-    key needs split LENGTHS and test identity, not the sample tensors, so
-    slice every data array to time-length 0 — the selection pipeline
-    (sig_qual filter, balance, n_fraction, folds) reads only
-    wav/label/sig_qual and take()s the data along axis 0."""
-
-    def light(d):
-        out = dict(d)
-        data = d["data"]
-        if isinstance(data, dict):
-            out["data"] = {b: np.asarray(v)[..., :0] for b, v in data.items()}
-        else:
-            out["data"] = np.asarray(data)[..., :0]
-        return out
-
-    if "train" in dataset and "test" in dataset:
-        return {
-            k: (light(v) if k in ("train", "test") else v)
-            for k, v in dataset.items()
-        }
-    return light(dataset)
-
-
 def group_gangable(
     cfgs: list[TrainConfig], dataset: dict, model_hooks: bool = False
 ) -> list[list[TrainConfig]]:
@@ -185,22 +164,18 @@ def group_gangable(
 
     Two configs share a bucket when they differ only in ``_MEMBER_FIELDS``
     and are gang-eligible.  Unequal train-split sizes and per-member test
-    splits are handled by the ragged gang path (:func:`_train_gang_ragged`),
-    so they do NOT split buckets — EXCEPT for the methods whose planning is
-    per-member-step-count-seeded or model-hooked (latent split-forward,
-    salopt, closest-pairing): those require the equal-size path and bucket
-    by (train size, test split) as before.  ``model_hooks`` mirrors
-    :func:`gang_ineligible_reason`'s flag (the runner passes True because
-    it wires the frozen-model providers).  Singleton buckets (and
-    ineligible configs) should run via
+    splits are handled by the ragged gang path (:func:`_train_gang_ragged`)
+    for EVERY eligible method — including the latent split-forward and
+    frozen-model-hook families, which it dispatches per draw group / with
+    per-member hooks — so split shape never splits buckets.
+    ``model_hooks`` mirrors :func:`gang_ineligible_reason`'s flag (the
+    runner passes True because it wires the frozen-model providers).
+    Singleton buckets (and ineligible configs) should run via
     :func:`pcgmix_tpu.train.loop.train_model`.  Bucket order follows first
     appearance; members keep input order.
     """
-    from pcgmix_tpu.augment.methods import parse_method
-
     groups: dict = {}
     order: list = []
-    light = None
     for cfg in cfgs:
         if gang_ineligible_reason(cfg, model_hooks=model_hooks) is not None:
             key = ("ineligible", id(cfg))
@@ -209,16 +184,6 @@ def group_gangable(
             for f in _MEMBER_FIELDS:
                 d.pop(f)
             key = (repr(sorted(d.items(), key=lambda kv: kv[0])),)
-            spec = parse_method(cfg.method, spectrogram=cfg.spectrogram)
-            if (
-                spec.latent
-                or spec.salopt is not None
-                or spec.pairing in ("closestknn", "closestbins")
-            ):
-                if light is None:  # selection logic without tensor copies
-                    light = _light_dataset(dataset)
-                tr, te = build_splits(cfg, light)
-                key = key + (len(tr), tuple(te.wav), tuple(te.label.tolist()))
         if key not in groups:
             groups[key] = []
             order.append(key)
@@ -385,6 +350,111 @@ def _emit_member_plot_epoch(
             )
 
 
+def _tree_bytes(tree) -> int:
+    return sum(
+        int(np.prod(l.shape)) * np.dtype(l.dtype).itemsize
+        for l in jax.tree_util.tree_leaves(tree)
+        if hasattr(l, "shape")
+    )
+
+
+def _jaxpr_intermediate_bytes(jaxpr) -> int:
+    """Sum of every intermediate array a jaxpr produces, sub-jaxprs
+    included — an UPPER bound on the program's activation footprint (XLA
+    fuses and reuses buffers aggressively, see the ``reuse`` discount in
+    :func:`estimate_gang_max_size`)."""
+    total = 0
+    for eqn in jaxpr.eqns:
+        for v in eqn.outvars:
+            aval = getattr(v, "aval", None)
+            if aval is not None and getattr(aval, "shape", None) is not None:
+                total += int(np.prod(aval.shape)) * np.dtype(aval.dtype).itemsize
+        for p in eqn.params.values():
+            for sub in (p if isinstance(p, (tuple, list)) else (p,)):
+                inner = getattr(sub, "jaxpr", None)
+                if inner is not None:
+                    total += _jaxpr_intermediate_bytes(inner)
+    return total
+
+
+def estimate_gang_max_size(
+    cfg: TrainConfig,
+    train_size: int,
+    corpus_bytes: int = 0,
+    hbm_bytes: Optional[int] = None,
+    reuse: float = 0.25,
+    safety: float = 0.8,
+) -> int:
+    """Default gang size cap from device memory (the reference's grids run
+    up to 333 seeds per point, read_experiments.py:20-59 — a gang that size
+    cannot hold S copies of params/opt-state/activations in HBM).
+
+    Budget model, all per member unless noted:
+
+    * **state** — params + batch_stats (exact, via ``jax.eval_shape`` of the
+      model init) × (1 + opt-state copies: 2 for adam's μ/ν, 1 for SGD
+      momentum) + the SELC soft-label table (train_size × num_classes f32);
+    * **activations** — the summed intermediates of one forward+backward
+      jaxpr (model-agnostic, traced abstractly — no compile, no device
+      work), discounted by ``reuse`` for XLA's buffer reuse/fusion (0.25 is
+      conservative against the production ResNet9 profile, where the
+      compiled temp size is well under a fifth of the naive sum);
+    * **shared** (once, not per member) — the staged base corpus
+      (``corpus_bytes``) and the eval staging, covered by the ``safety``
+      headroom together with XLA workspace.
+
+    ``S_max = (hbm × safety − corpus) // per_member``, floored at 1.
+    ``hbm_bytes`` defaults to the backend's reported limit
+    (``device.memory_stats()['bytes_limit']``) or 8 GiB when the backend
+    does not report one (CPU dryrun meshes).  The runner uses this as the
+    ``--gang-max-size`` default; the manual flag overrides.
+    """
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    model = build_model(
+        cfg.model, cfg.dataset, cfg.num_classes, train=True,
+        compute_dtype=dtype,
+    )
+    if cfg.spectrogram:
+        sample = jax.ShapeDtypeStruct(
+            (cfg.batch_size, 1, cfg.sig_len, cfg.sig_len), jnp.float32
+        )
+    else:
+        sample = jax.ShapeDtypeStruct(
+            (cfg.batch_size, cfg.num_channels, cfg.sig_len), jnp.float32
+        )
+    variables = jax.eval_shape(
+        lambda s: model.init(jax.random.PRNGKey(0), s), sample
+    )
+    opt_copies = 2 if cfg.op.lower() == "adam" else 1
+    state_bytes = (
+        _tree_bytes(variables) * (1 + opt_copies)
+        + train_size * cfg.num_classes * 4
+    )
+
+    def loss_fn(params, bstats, x):
+        # bstats rides as a traced ARGUMENT: captured eval_shape structs
+        # cannot be used as constants inside make_jaxpr (BatchNorm's
+        # running-average update would hit float * ShapeDtypeStruct)
+        out = model.apply(
+            {"params": params, "batch_stats": bstats},
+            x, mutable=["batch_stats"],
+        )
+        logits = out[0] if isinstance(out, tuple) else out
+        return jnp.sum(jax.tree_util.tree_leaves(logits)[0])
+
+    jaxpr = jax.make_jaxpr(jax.grad(loss_fn))(
+        variables["params"], variables.get("batch_stats", {}), sample
+    )
+    act_bytes = _jaxpr_intermediate_bytes(jaxpr.jaxpr) * reuse
+    per_member = state_bytes + act_bytes
+
+    if hbm_bytes is None:
+        stats = jax.devices()[0].memory_stats() or {}
+        hbm_bytes = stats.get("bytes_limit") or 8 * 1024**3
+    budget = hbm_bytes * safety - corpus_bytes
+    return max(1, int(budget // max(per_member, 1)))
+
+
 def _finalize_members(cfgs, perfs, run_dirs, state, lr_lists):
     """Final per-member artifacts: model.msgpack + performance.pkl (the
     save is idempotent for normal completions and covers the
@@ -464,7 +534,9 @@ def train_gang(
         # per-member schedule tables — exact per-member semantics, some
         # idle compute on the shorter members
         return _train_gang_ragged(
-            cfgs, dataset, splits, n_devices=n_devices, progress=progress
+            cfgs, dataset, splits, n_devices=n_devices, progress=progress,
+            saliency_model_providers=saliency_model_providers,
+            latent_feature_fn=latent_feature_fn,
         )
 
     steps_per_epoch = n_train // cfg0.batch_size
@@ -911,6 +983,8 @@ def _train_gang_ragged(
     *,
     n_devices: Optional[int] = None,
     progress: bool = False,
+    saliency_model_providers: Optional[list] = None,
+    latent_feature_fn=None,
 ) -> list[dict]:
     """Ragged gang: members may have UNEQUAL train-split sizes and
     PER-MEMBER test splits — the UMC 10-fold case (held-out patient groups
@@ -940,9 +1014,23 @@ def _train_gang_ragged(
 
     Cost: the shorter members idle for (max-own) steps per epoch — wasted
     compute bounded by the size spread, still far cheaper than training the
-    spread members sequentially.  Latent (split-forward) methods cannot run
-    ragged: their depth/gate draws are seeded by each member's own step
-    count, which diverges — group_gangable buckets those by split size.
+    spread members sequentially.
+
+    Latent (split-forward) methods run ragged through PER-DRAW GROUPED
+    dispatch: each member's depth/gate draw is seeded by its OWN step count
+    (which diverges across unequal splits), so at each lockstep position the
+    members are partitioned by their draw — gated-off/plain, or latent depth
+    d — and one vmapped per-depth program is dispatched per distinct draw
+    over the FULL stacked state, with the member mask selecting which
+    members actually commit the update (the same ``jnp.where(active, …)``
+    no-op machinery the raggedness itself uses).  Every member's plan,
+    RNG fold, and schedule value stay bit-equal to its standalone run; the
+    extra cost is (#distinct draws − 1) redundant vmapped steps per
+    position — bounded by the model's depth fan-out (≤5), far below the S×
+    cost of sequential runs.  Frozen-model hook methods (salopt / closest
+    pairing) run ragged too: each ACTIVE member's hook runs on its own
+    base-gathered device batch exactly as in the equal path (idle members
+    reuse their cached identity template and consume no hook work).
     """
     cfg0 = cfgs[0]
     S = len(cfgs)
@@ -957,20 +1045,23 @@ def _train_gang_ragged(
 
     engines = _member_engines(cfgs, train_sets)
     enabled = engines[0].enabled
-    if engines[0].needs_pretrained_saliency or engines[0].needs_latent_model:
+    needs_sal = engines[0].needs_pretrained_saliency
+    needs_lat = engines[0].needs_latent_model
+    if needs_sal and (
+        saliency_model_providers is None
+        or len(saliency_model_providers) != S
+    ):
         raise ValueError(
-            "ragged gang cannot run model-hook methods (salopt / closest "
-            "pairing): group_gangable buckets them by split size and test "
-            "split — members with unequal splits train singly"
+            "(salopt…) gang needs ONE saliency provider per member — pass "
+            "saliency_model_providers (the runner's --gang wires this "
+            "after training the dependency runs)"
         )
-    if enabled and engines[0].spec.latent:
-        raise ValueError(
-            "ragged gang cannot run latentmixup/manifold methods: the "
-            "depth/gate draws are seeded by each member's own step count, "
-            "which diverges across unequal splits (per-depth dispatch would "
-            "need per-member programs) — group_gangable() buckets latent "
-            "methods by split size/test split; train unequal ones singly"
-        )
+    if needs_lat and latent_feature_fn is None:
+        from pcgmix_tpu.latent import latent_space_for
+
+        latent_feature_fn = latent_space_for(cfg0).generate
+    hook_mode = needs_sal or needs_lat
+    latent_mode = enabled and engines[0].spec.latent
 
     base_ds = _base_train_dataset(cfg0, dataset)
     member_rows = [np.asarray(tr.rows, np.int64) for tr in train_sets]
@@ -1061,29 +1152,68 @@ def _train_gang_ragged(
         def put(tree):
             return jax.tree_util.tree_map(jnp.asarray, tree)
 
-    def member_body(st, idx, rows, plan, sid, lr, mom, active, epoch, rng):
-        if with_sched is not None:
-            st = st.replace(opt_state=with_sched(st.opt_state, lr, mom))
-        new_st, out = raw_step(
-            st, {"indices": idx, "rows": rows}, plan, epoch,
-            jax.random.fold_in(rng, sid),
-        )
-        # masked no-op: discard the whole update for idle members (the
-        # select also blocks any NaN a garbage re-fed batch could produce)
-        new_st = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(active, a, b), new_st, st
-        )
-        return new_st, out
+    def make_body(raw):
+        def body(st, idx, rows, plan, sid, lr, mom, active, epoch, rng):
+            if with_sched is not None:
+                st = st.replace(opt_state=with_sched(st.opt_state, lr, mom))
+            new_st, out = raw(
+                st, {"indices": idx, "rows": rows}, plan, epoch,
+                jax.random.fold_in(rng, sid),
+            )
+            # masked no-op: discard the whole update for idle members (and
+            # for members whose latent draw belongs to a different per-depth
+            # dispatch; the select also blocks any NaN a garbage re-fed
+            # batch could produce)
+            new_st = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(active, a, b), new_st, st
+            )
+            return new_st, out
 
-    gang_step = jax.jit(
-        jax.vmap(
-            member_body,
-            in_axes=(0, 0, 0, 0 if enabled else None, 0, 0, 0, 0, None, None),
-        ),
-        donate_argnums=(0,),
+        return body
+
+    def vmapped_body(raw, with_plan):
+        return jax.jit(
+            jax.vmap(
+                make_body(raw),
+                in_axes=(
+                    0, 0, 0, 0 if with_plan else None, 0, 0, 0, 0, None, None
+                ),
+            ),
+            donate_argnums=(0,),
+        )
+
+    member_body = make_body(raw_step)
+    gang_step = vmapped_body(raw_step, enabled)
+
+    # latent split-forward programs, one per distinct depth draw; the plain
+    # program serves gated-off '+p' steps (train_model's step_plain)
+    latent_ragged_steps: dict = {}
+
+    def latent_gang_step(depth):
+        if depth not in latent_ragged_steps:
+            raw_l = make_train_step(
+                model, tx, selc_es=selc_es, engine=engines[0],
+                latent_depth=depth, manifold=engines[0].spec.manifold,
+                model_eval=model_eval,
+                train_data=base_data, train_labels=base_labels,
+            )._raw_step
+            latent_ragged_steps[depth] = vmapped_body(raw_l, True)
+        return latent_ragged_steps[depth]
+
+    gang_step_plain = None
+    if latent_mode:
+        raw_plain = make_train_step(
+            model, tx, selc_es=selc_es,
+            train_data=base_data, train_labels=base_labels,
+        )._raw_step
+        gang_step_plain = vmapped_body(raw_plain, False)
+
+    # hook plans dispatch per step (the frozen-model hook runs on the
+    # member's current batch); latent mode dispatches per draw group —
+    # neither can pre-stack into a scan
+    scan_k = (
+        cfg0.steps_per_dispatch if not (latent_mode or hook_mode) else 1
     )
-
-    scan_k = cfg0.steps_per_dispatch
     gang_multi = None
     if scan_k > 1:
         def member_multi(
@@ -1160,8 +1290,11 @@ def _train_gang_ragged(
         )
 
         if _engine_rng_replayable(engines[0]):
-            # (ragged gangs reject hook methods, so this is every enabled
-            # ragged engine — the guard keeps the two resume paths uniform)
+            # hook engines (salopt / closest pairing) cannot replay without
+            # their frozen-model hooks — post-resume plans restart the
+            # mirror stream, matching train_model's resume semantics for
+            # them (disclosed in PARITY.md); all other enabled engines
+            # replay to their exact standalone position
             for eng, tr, cfg, ms in zip(engines, train_sets, cfgs, msteps):
                 replay_plan_rng(eng, tr, cfg, ms)
         if progress:
@@ -1227,8 +1360,32 @@ def _train_gang_ragged(
             for v in bufs.values():
                 del v[:n_items]
 
+        def hook_kw(s, rows_np, frames):
+            """Frozen-model planning kwargs for member s, mirroring the
+            equal path: the member's device batch gathered from the shared
+            base feeds its per-member saliency provider / the shared
+            embedding fn."""
+            if not hook_mode:
+                return {}
+            kw = {}
+            rows_dev = jnp.asarray(rows_np)
+            data_dev = jnp.take(base_data, rows_dev, axis=0)
+            if needs_lat:
+                kw["latent_fn"] = lambda d=data_dev: latent_feature_fn(d)
+            if needs_sal:
+                target_dev = jax.nn.one_hot(
+                    jnp.take(base_labels, rows_dev),
+                    cfg0.num_classes, dtype=base_data.dtype,
+                )
+                kw["saliency_fn"] = (
+                    lambda mix_model, s=s, d=data_dev, t=target_dev,
+                    f=frames:
+                    saliency_model_providers[s](mix_model)(d, t, f)
+                )
+            return kw
+
         for k in range(spe_max):
-            idx_r, rows_r, plan_r = [], [], []
+            idx_r, rows_r, plan_r, latent_plans = [], [], [], []
             sid_r, lr_r, mom_r, act_r = [], [], [], []
             for s in range(S):
                 active = k < spe[s]
@@ -1238,18 +1395,32 @@ def _train_gang_ragged(
                 else:
                     b = last_batch[s]  # masked no-op re-feed
                 idx_r.append(b["indices"])
-                rows_r.append(member_rows[s][b["indices"]])
-                if enabled:
+                rows_np = member_rows[s][b["indices"]]
+                rows_r.append(rows_np)
+                if latent_mode:
+                    # per-member draw: each member's own step id seeds its
+                    # gate/depth, diverging across ragged members — grouped
+                    # per-draw dispatch below
+                    latent_plans.append(
+                        engines[s].plan(
+                            msteps[s], b["frames"], b["label"], b["wav"]
+                        )
+                        if active else None
+                    )
+                elif enabled:
                     if active:
                         arr, _ = engines[s].plan_arrays_or_identity(
-                            msteps[s], b["frames"], b["label"], b["wav"]
+                            msteps[s], b["frames"], b["label"], b["wav"],
+                            **hook_kw(s, rows_np, b["frames"]),
                         )
                     else:
                         # consumes no engine RNG (identity_arrays snapshots
                         # the mirror stream) — the member's plan trajectory
-                        # stays bit-equal to its standalone run
+                        # stays bit-equal to its standalone run.  Hook kwargs
+                        # only matter on the one-time template build.
                         arr = engines[s].identity_arrays(
-                            msteps[s], b["frames"], b["label"], b["wav"]
+                            msteps[s], b["frames"], b["label"], b["wav"],
+                            **hook_kw(s, rows_np, b["frames"]),
                         )
                     plan_r.append(arr)
                 sid_r.append(msteps[s])
@@ -1265,6 +1436,56 @@ def _train_gang_ragged(
                 lr_r.append(lr)
                 mom_r.append(mom)
                 act_r.append(active)
+            if latent_mode:
+                # partition members by their draw (None = gated-off/plain,
+                # d = latent depth); dispatch one program per distinct draw
+                # over the full stacked state, masked to that draw's members
+                act_np = np.asarray(act_r)
+                draw_of = [
+                    (p.latent_depth if p is not None else None)
+                    for p in latent_plans
+                ]
+                draws = []
+                for s in range(S):
+                    if act_np[s] and draw_of[s] not in draws:
+                        draws.append(draw_of[s])
+                if not draws:  # every member idle (cannot happen: spe_max)
+                    draws = [None]
+                idx_s, rows_s = np.stack(idx_r), np.stack(rows_r)
+                sids = np.asarray(sid_r, np.int32)
+                lrs = np.asarray(lr_r, np.float32)
+                moms = np.asarray(mom_r, np.float32)
+                for draw in draws:
+                    # every dispatch runs the FULL stacked state; the mask
+                    # commits updates only for this draw's active members
+                    # (idle members and other-draw members are computed but
+                    # discarded — same no-op machinery as raggedness itself)
+                    mask = np.array([
+                        act_np[s] and draw_of[s] == draw for s in range(S)
+                    ])
+                    if draw is None:
+                        state, out = gang_step_plain(
+                            state, put(idx_s), put(rows_s), None,
+                            put(sids), put(lrs), put(moms), put(mask),
+                            epoch, base_key,
+                        )
+                    else:
+                        donor = int(np.argmax(mask))
+                        arrays = _stack_trees([
+                            (latent_plans[s].arrays if mask[s]
+                             else latent_plans[donor].arrays)
+                            for s in range(S)
+                        ])
+                        state, out = latent_gang_step(draw)(
+                            state, put(idx_s), put(rows_s), put(arrays),
+                            put(sids), put(lrs), put(moms), put(mask),
+                            epoch, base_key,
+                        )
+                    epoch_losses.append(out["loss"][:, None])
+                    epoch_preds.append(out["preds"][:, None])
+                    epoch_targets.append(out["target"][:, None])
+                    epoch_masks.append(mask[:, None])
+                continue
             bufs["idx"].append(np.stack(idx_r))
             bufs["rows"].append(np.stack(rows_r))
             if enabled:

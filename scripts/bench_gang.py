@@ -26,6 +26,9 @@ METHOD = "durmixmagwarp(0.2,4)"
 STEPS = 48  # per member per window
 
 
+_SHARED: dict = {}  # one corpus + one device copy across every arm (HBM!)
+
+
 def build(use_pallas: bool, gang_s: int | None):
     """Returns run_window(start) -> samples-processed for one arm."""
     import jax
@@ -39,12 +42,18 @@ def build(use_pallas: bool, gang_s: int | None):
         TrainState, make_multi_step, make_optimizer, make_train_step,
     )
 
-    n_wavs = max(8, int(np.ceil((STEPS + 8) * BATCH / 8 * 1.15)))
-    dataset = synthetic_physionet_dict(
-        num_wavs_train=n_wavs, num_wavs_test=2, segments_per_wav=8,
-        sig_len=SIG_LEN, seed=0,
-    )
-    train_ds = physionet_split(dataset, "train", train_balance=False)
+    if "train_ds" not in _SHARED:
+        n_wavs = max(8, int(np.ceil((STEPS + 8) * BATCH / 8 * 1.15)))
+        dataset = synthetic_physionet_dict(
+            num_wavs_train=n_wavs, num_wavs_test=2, segments_per_wav=8,
+            sig_len=SIG_LEN, seed=0,
+        )
+        _SHARED["train_ds"] = physionet_split(
+            dataset, "train", train_balance=False
+        )
+        _SHARED["train_data"] = jnp.asarray(_SHARED["train_ds"].data)
+        _SHARED["train_labels"] = jnp.asarray(_SHARED["train_ds"].label)
+    train_ds = _SHARED["train_ds"]
 
     model = build_model("resnet9", train=True, compute_dtype=jnp.bfloat16)
     tx = make_optimizer("adam", 0.01, 1e-4, 0.1, 10_000, use_sched=True)
@@ -69,8 +78,8 @@ def build(use_pallas: bool, gang_s: int | None):
             )
         )
 
-    train_data = jnp.asarray(train_ds.data)
-    train_labels = jnp.asarray(train_ds.label)
+    train_data = _SHARED["train_data"]
+    train_labels = _SHARED["train_labels"]
     key = jax.random.PRNGKey(0)
 
     if gang_s is None:
@@ -240,16 +249,25 @@ def ragged_overhead(gang_s: int = 8, epochs: int = 3):
 
 def main():
     gang_sizes = [int(x) for x in (sys.argv[1:] or ["4", "8"])]
+    out = {}
+    # ragged probe FIRST: it builds its own corpus + gang states, so it gets
+    # the cleanest HBM (a previous ordering OOMed here after all the arms)
+    try:
+        out["ragged_overhead"] = ragged_overhead(gang_sizes[-1])
+    except Exception as e:  # noqa: BLE001 - record, don't lose the arms
+        out["ragged_overhead_error"] = f"{type(e).__name__}: {e}"[:300]
     results = {}
     seq = build(use_pallas=False, gang_s=None)
     results["seq_pallas_off"] = measure(seq)
     for s in gang_sizes:
         g = build(use_pallas=False, gang_s=s)
         results[f"gang_{s}"] = measure(g)
+        del g  # drop the arm's stacked state before the next build
         # interleaved control: has the tunnel drifted?
         results[f"seq_control_after_gang_{s}"] = measure(seq, reps=2)
     seq_p = build(use_pallas=True, gang_s=None)
     results["seq_pallas_on"] = measure(seq_p)
+    del seq_p
     # experimental: vmap-batched Pallas mix kernels inside the gang (works
     # in interpret mode; the real Mosaic lowering may reject the batched
     # grid — record the outcome either way)
@@ -257,11 +275,10 @@ def main():
     try:
         gp = build(use_pallas=True, gang_s=gang_sizes[-1])
         results[f"gang_{gang_sizes[-1]}_pallas"] = measure(gp)
+        del gp
     except Exception as e:  # noqa: BLE001 - record, don't crash the bench
         gang_pallas_error = f"{type(e).__name__}: {e}"
 
-    out = {}
-    out["ragged_overhead"] = ragged_overhead(gang_sizes[-1])
     if gang_pallas_error:
         out["gang_pallas_error"] = gang_pallas_error[:300]
     base = float(np.median(results["seq_pallas_off"]))

@@ -67,6 +67,8 @@ def _tight(gang, singles, rtol=1e-3):
         np.testing.assert_allclose(g["test_loss"], s["test_loss"], rtol=rtol)
         assert g["steps"] == s["steps"]
         assert g["test_accuracy"] == s["test_accuracy"]
+        # prediction-level: identical per-wav recording votes (VERDICT r3)
+        assert g["test_wav_preds"] == s["test_wav_preds"]
 
 
 def test_hook_methods_eligibility_flag():

@@ -52,6 +52,78 @@ def test_gang_max_size_chunks_groups(tmp_path, capsys, four_equal_seed_datas):
     assert len(done) == 4
 
 
+def test_estimate_gang_max_size_formula():
+    """Pin the memory-derived default cap (VERDICT r3 item 8): S_max =
+    (hbm × safety − corpus) // (state + reuse × jaxpr-intermediate sum),
+    with exact param/opt-state sizing via eval_shape."""
+    import jax
+    import numpy as np
+
+    from pcgmix_tpu.models import build_model
+    from pcgmix_tpu.train.gang import (
+        _jaxpr_intermediate_bytes, _tree_bytes, estimate_gang_max_size,
+    )
+
+    cfg = _base("/tmp")  # resnet9-5k, batch 16, sig_len 256, SGD
+    train_size = 48
+    # independent re-derivation of the state term
+    model = build_model(cfg.model, cfg.dataset, 2, train=True)
+    variables = jax.eval_shape(
+        lambda s: model.init(jax.random.PRNGKey(0), s),
+        jax.ShapeDtypeStruct((16, 4, 256), np.float32),
+    )
+    state = _tree_bytes(variables) * 2 + train_size * 2 * 4  # SGD: 1 copy
+    s_max = estimate_gang_max_size(
+        cfg, train_size, corpus_bytes=0, hbm_bytes=64 * 1024**2
+    )
+    # monotone + formula checks without re-tracing the activation term:
+    # solve the activation bytes back out of one call, then pin a second
+    # budget against the same components
+    budget1 = 64 * 1024**2 * 0.8
+    per_member = budget1 // s_max  # within one member of the true value
+    assert per_member > state  # activations contribute
+    s_max_2x = estimate_gang_max_size(
+        cfg, train_size, corpus_bytes=0, hbm_bytes=128 * 1024**2
+    )
+    assert s_max <= s_max_2x <= 2 * s_max + 2  # ~linear in the budget
+    # corpus bytes come off the top
+    s_max_c = estimate_gang_max_size(
+        cfg, train_size, corpus_bytes=32 * 1024**2, hbm_bytes=64 * 1024**2
+    )
+    assert s_max_c < s_max
+    # floor at 1 even when the budget is hopeless
+    assert estimate_gang_max_size(cfg, train_size, hbm_bytes=1024) == 1
+    # the activation term is a real jaxpr sum, not a constant
+    def f(x):
+        return (x * 2.0 + 1.0).sum()
+
+    jx = jax.make_jaxpr(f)(np.zeros((8, 8), np.float32))
+    assert _jaxpr_intermediate_bytes(jx.jaxpr) >= 2 * 8 * 8 * 4
+
+
+def test_gang_auto_size_chunks_on_tiny_budget(
+    tmp_path, capsys, four_equal_seed_datas, monkeypatch
+):
+    """gang_max_size=None derives the cap from device memory; with the
+    estimator forced to 2, a 4-member grid chunks into two sub-gangs
+    automatically (VERDICT r3 item 8 'oversized grids chunk automatically
+    on the dryrun mesh')."""
+    import pcgmix_tpu.train.gang as gang_mod
+
+    monkeypatch.setattr(
+        gang_mod, "estimate_gang_max_size", lambda *a, **k: 2
+    )
+    ran = run_grid(
+        _base(tmp_path), DS, ["durratiomixup"], [0.5], [1],
+        seed_datas=four_equal_seed_datas, robust=False, gang=True,
+        gang_max_size=None, progress=True,
+    )
+    out = capsys.readouterr().out
+    assert "gang auto-size: S_max=2" in out
+    assert out.count("gang of 2:") == 2
+    assert len(ran) == 4
+
+
 def test_gang_runtime_failure_falls_back_sequential(
     tmp_path, capsys, four_equal_seed_datas, monkeypatch
 ):
