@@ -24,6 +24,9 @@ BATCH, SIG_LEN, CHANNELS = 64, 2500, 4
 SCAN_K = 8
 METHOD = "durmixmagwarp(0.2,4)"
 STEPS = 48  # per member per window
+MODEL = "resnet9"  # --model overrides: the gang thesis lives on the SMALL
+                   # models (Potes/resnet9-5k) that leave the MXU idle at
+                   # batch 64; the 6M-param resnet9 saturates the chip alone
 
 
 _SHARED: dict = {}  # one corpus + one device copy across every arm (HBM!)
@@ -55,7 +58,7 @@ def build(use_pallas: bool, gang_s: int | None):
         _SHARED["train_labels"] = jnp.asarray(_SHARED["train_ds"].label)
     train_ds = _SHARED["train_ds"]
 
-    model = build_model("resnet9", train=True, compute_dtype=jnp.bfloat16)
+    model = build_model(MODEL, train=True, compute_dtype=jnp.bfloat16)
     tx = make_optimizer("adam", 0.01, 1e-4, 0.1, 10_000, use_sched=True)
     variables = model.init(
         jax.random.PRNGKey(4), jnp.zeros((1, CHANNELS, SIG_LEN), jnp.float32)
@@ -74,7 +77,7 @@ def build(use_pallas: bool, gang_s: int | None):
         return AugmentEngine(
             AugmentConfig(
                 method=METHOD, batch_size=BATCH, num_channels=CHANNELS,
-                sig_len=SIG_LEN, model="resnet9", use_pallas=use_pallas,
+                sig_len=SIG_LEN, model=MODEL, use_pallas=use_pallas,
             )
         )
 
@@ -211,7 +214,7 @@ def ragged_overhead(gang_s: int = 8, epochs: int = 3):
     )
     cfgs = [
         TrainConfig(
-            dataset="PhysioNet", model="resnet9", method=METHOD,
+            dataset="PhysioNet", model=MODEL, method=METHOD,
             num_epochs=epochs, batch_size=BATCH, sig_len=SIG_LEN,
             train_balance=False, save_artifacts=False, loader_parity="numpy",
             compute_dtype="bfloat16", steps_per_dispatch=SCAN_K, seed=s,
@@ -248,14 +251,48 @@ def ragged_overhead(gang_s: int = 8, epochs: int = 3):
 
 
 def main():
-    gang_sizes = [int(x) for x in (sys.argv[1:] or ["4", "8"])]
-    out = {}
+    global MODEL
+    args = list(sys.argv[1:])
+    if "--model" in args:
+        i = args.index("--model")
+        MODEL = args[i + 1]
+        del args[i:i + 2]
+    skip_ragged = "--skip-ragged" in args
+    if skip_ragged:
+        args.remove("--skip-ragged")
+    pallas_only = "--pallas-gangs" in args  # sweep PALLAS gangs per size
+    if pallas_only:
+        args.remove("--pallas-gangs")
+    gang_sizes = [int(x) for x in (args or ["4", "8"])]
+    out = {"model": MODEL}
+    if pallas_only:
+        results = {}
+        seq_p = build(use_pallas=True, gang_s=None)
+        results["seq_pallas_on"] = measure(seq_p)
+        for s in gang_sizes:
+            g = build(use_pallas=True, gang_s=s)
+            results[f"gang_{s}_pallas"] = measure(g)
+            del g
+            results[f"seq_control_after_{s}"] = measure(seq_p, reps=2)
+        base = float(np.median(results["seq_pallas_on"]))
+        for k, v in results.items():
+            out[k] = {
+                "samples_per_s": [round(float(x)) for x in v],
+                "median": round(float(np.median(v))),
+            }
+            if k.startswith("gang_"):
+                out[k]["speedup_vs_seq_pallas"] = round(
+                    float(np.median(v)) / base, 2
+                )
+        print(json.dumps(out, indent=1))
+        return
     # ragged probe FIRST: it builds its own corpus + gang states, so it gets
     # the cleanest HBM (a previous ordering OOMed here after all the arms)
-    try:
-        out["ragged_overhead"] = ragged_overhead(gang_sizes[-1])
-    except Exception as e:  # noqa: BLE001 - record, don't lose the arms
-        out["ragged_overhead_error"] = f"{type(e).__name__}: {e}"[:300]
+    if not skip_ragged:
+        try:
+            out["ragged_overhead"] = ragged_overhead(gang_sizes[-1])
+        except Exception as e:  # noqa: BLE001 - record, don't lose the arms
+            out["ragged_overhead_error"] = f"{type(e).__name__}: {e}"[:300]
     results = {}
     seq = build(use_pallas=False, gang_s=None)
     results["seq_pallas_off"] = measure(seq)
