@@ -182,8 +182,29 @@ def run_grid(
         return executed
 
     from pcgmix_tpu.train.gang import (
-        estimate_gang_max_size, group_gangable, train_gang,
+        estimate_gang_max_size, gang_profitable, group_gangable, train_gang,
     )
+
+    profit_cache: dict = {}
+
+    def advise_profitability(cfg):
+        """One-time per-model advisory (chip-measured, BENCH.md): ganging
+        MXU-saturating models trades ~10-20% steady-state throughput for
+        compile amortization; small models gang at 2-3.4×."""
+        if cfg.model in profit_cache:
+            return
+        try:
+            profit_cache[cfg.model] = gang_profitable(cfg)
+        except Exception:  # noqa: BLE001 - advisory must never block the grid
+            profit_cache[cfg.model] = True
+        if not profit_cache[cfg.model] and progress:
+            print(
+                f"gang advisory: {cfg.model} saturates the chip alone "
+                f"(≥1M params) — gangs measured 0.79-0.91× sequential "
+                f"steady-state on TPU v5e (BENCH.md); ganging anyway for "
+                f"compile amortization. Drop --gang for peak per-run "
+                f"throughput on this model."
+            )
 
     def _train_rows():
         d = (
@@ -282,6 +303,7 @@ def run_grid(
         if not group:
             continue
         if len(group) >= 2:
+            advise_profitability(group[0])
             gang_kwargs = {}
             lat_dep = _latent_dependency(group[0])
             if lat_dep is not None and not experiment_already_done(lat_dep):

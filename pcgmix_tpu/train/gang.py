@@ -455,6 +455,43 @@ def estimate_gang_max_size(
     return max(1, int(budget // max(per_member, 1)))
 
 
+def gang_profitable(cfg: TrainConfig, param_threshold: int = 1_000_000) -> bool:
+    """Chip-data-backed steady-state profitability heuristic for ganging.
+
+    Measured on the real TPU v5e (BENCH.md "Gang training",
+    artifacts/bench_gang_{resnet9,potes}_r4.json): models small enough to
+    leave the MXU idle at batch 64 gang at 2.4× the best sequential config
+    (Potes, 130k params), while MXU-saturating models *lose* 0.79-0.91×
+    (ResNet9, 6M params) because the vmapped per-member-weights convs lower
+    to grouped contractions XLA tiles worse than S dense convs.  The
+    crossover sits between those two points; 1M params is the conservative
+    default.  Advisory only — gangs still amortize per-run tracing/compile
+    and host-side epoch machinery, so the runner gangs when asked and
+    prints this signal rather than overriding the user.
+    """
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    model = build_model(
+        cfg.model, cfg.dataset, cfg.num_classes, train=True,
+        compute_dtype=dtype,
+    )
+    if cfg.spectrogram:
+        sample = jax.ShapeDtypeStruct(
+            (1, 1, cfg.sig_len, cfg.sig_len), jnp.float32
+        )
+    else:
+        sample = jax.ShapeDtypeStruct(
+            (1, cfg.num_channels, cfg.sig_len), jnp.float32
+        )
+    variables = jax.eval_shape(
+        lambda s: model.init(jax.random.PRNGKey(0), s), sample
+    )
+    params = sum(
+        int(np.prod(x.shape))
+        for x in jax.tree_util.tree_leaves(variables["params"])
+    )
+    return params < param_threshold
+
+
 def _finalize_members(cfgs, perfs, run_dirs, state, lr_lists):
     """Final per-member artifacts: model.msgpack + performance.pkl (the
     save is idempotent for normal completions and covers the

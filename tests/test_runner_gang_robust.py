@@ -163,3 +163,39 @@ def test_no_gang_fallback_surfaces_failure(
             seed_datas=four_equal_seed_datas[:2], robust=False, gang=True,
             gang_fallback=False, progress=False,
         )
+
+
+def test_gang_profitable_heuristic():
+    """gang_profitable: chip-measured crossover (BENCH.md gang tables) —
+    sub-1M-param models (Potes 130k, resnet9-5k 3k) gang profitably, the
+    6M-param resnet9 does not; threshold is overridable."""
+    from pcgmix_tpu.train.gang import gang_profitable
+
+    small = _base("/tmp")  # resnet9-5k
+    assert gang_profitable(small)
+    potes = _base("/tmp")
+    potes.model = "Potes"
+    assert gang_profitable(potes)
+    big = _base("/tmp")
+    big.model = "resnet9"
+    assert not gang_profitable(big)
+    assert gang_profitable(big, param_threshold=10_000_000)
+
+
+def test_gang_advisory_printed_for_big_model(
+    tmp_path, capsys, four_equal_seed_datas, monkeypatch
+):
+    """The runner prints the profitability advisory once per model when
+    ganging an MXU-saturating model, and still gangs."""
+    import pcgmix_tpu.train.gang as gang_mod
+
+    monkeypatch.setattr(gang_mod, "gang_profitable", lambda *a, **k: False)
+    ran = run_grid(
+        _base(tmp_path), DS, ["durratiomixup"], [0.5], [1],
+        seed_datas=four_equal_seed_datas, robust=False, gang=True,
+        gang_max_size=0, progress=True,
+    )
+    out = capsys.readouterr().out
+    assert out.count("gang advisory:") == 1
+    assert "gang of 4" in out
+    assert len(ran) == 4
