@@ -337,6 +337,44 @@ def bench_cpu_reference() -> float:
     return sps
 
 
+def bench_gang_rows() -> dict:
+    """Measured gang-training rows for the driver JSON (VERDICT r3 #1).
+
+    Reuses scripts/bench_gang.py's arm machinery in-process (interleaved
+    control discipline: never compare rates across processes).  Potes is
+    the gang-thesis model — 130k params leaves the MXU idle at batch 64,
+    so vmapping S grid members into one program multiplies useful work per
+    dispatch; S=8 is the chip-measured sweet spot
+    (artifacts/bench_gang_potes_pallas_sweep_r4.json).
+    """
+    import statistics as st
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    import bench_gang
+
+    bench_gang.MODEL = "Potes"
+    _log("gang rows: Potes sequential (pallas) arm")
+    seq = bench_gang.build(use_pallas=True, gang_s=None)
+    seq_rates = bench_gang.measure(seq, reps=3)
+    _log(f"gang rows: seq median {st.median(seq_rates):.0f} samples/s")
+    gang = bench_gang.build(use_pallas=True, gang_s=8)
+    gang_rates = bench_gang.measure(gang, reps=3)
+    _log(f"gang rows: gang-8 median {st.median(gang_rates):.0f} samples/s")
+    # interleaved control: has the tunnel drifted under the gang arm?
+    seq_ctl = bench_gang.measure(seq, reps=2)
+    seq_sps = st.median(seq_rates + seq_ctl)
+    gang_sps = st.median(gang_rates)
+    return {
+        "gang_potes_s8_sps": round(gang_sps),
+        "gang_potes_seq_sps": round(seq_sps),
+        "gang_speedup_vs_seq": round(gang_sps / seq_sps, 2),
+        "gang_note": "8-member Potes seed-grid gang (vmapped train step, "
+                     "Pallas mix, bf16 + 8-step scan) vs the same-process "
+                     "sequential Potes config; aggregated samples/s/chip",
+    }
+
+
 def _backend_available(timeout_s: int = 240) -> bool:
     """Bounded accelerator probe in a subprocess: jax.devices() blocks
     indefinitely when the tunneled backend is unreachable, which would hang
@@ -386,6 +424,10 @@ def main():
     fp32_sps, fp32_spread, _ = bench_mode(
         train_ds, jnp.float32, want_flops=False
     )
+    try:
+        gang_rows = bench_gang_rows()
+    except Exception as e:  # noqa: BLE001 - gang rows must not sink the headline
+        gang_rows = {"gang_error": f"{type(e).__name__}: {e}"[:300]}
     _log("CPU reference baseline")
     cpu_sps = bench_cpu_reference()
 
@@ -414,6 +456,7 @@ def main():
                              "vary 2-4x across processes; indicative only "
                              "(the scan headline is the production config)",
         "device": kind,
+        **gang_rows,
     }
     if flops:
         out["flops_per_step"] = round(flops)
