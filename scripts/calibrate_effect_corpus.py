@@ -1,0 +1,56 @@
+"""Calibrate synthetic_effect_dict difficulty for the replication grid.
+
+The replication (scripts/replicate_synthetic.py) needs the vanilla model
+BELOW ceiling at the low n_fraction — if vanilla tests at ~100%, no
+augmentation can show an effect.  This probe trains vanilla and PCGmix at
+n_frac 0.1 for a few (murmur, confounder, noise) triples and reports test
+accuracy, so the full grid runs in a regime with headroom (vanilla ~60-85%).
+
+Usage: python scripts/calibrate_effect_corpus.py [murmur conf noise]...
+(each triple comma-separated, e.g. 0.15,1.2,0.5)
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pcgmix_tpu.data import synthetic_effect_dict
+from pcgmix_tpu.train import TrainConfig, train_gang
+
+CORPUS_KW = dict(num_wavs_train=240, num_wavs_test=200,
+                 segments_per_wav=8, sig_len=2500)
+
+
+def probe(murmur, conf, noise, methods=("base", "durratiomixup+1.0"),
+          seed_datas=(1010001, 1010002), num_epochs=50):
+    ds = synthetic_effect_dict(
+        seed=7, murmur_amp=murmur, confounder_amp=conf, noise_amp=noise,
+        **CORPUS_KW)
+    accs = {}
+    for method in methods:
+        cfgs = [
+            TrainConfig(
+                dataset="PhysioNet", model="resnet9", method=method,
+                num_epochs=num_epochs, n_fraction=0.1, seed_data=sd, seed=1,
+                compute_dtype="bfloat16", steps_per_dispatch=8,
+                loader_parity="numpy", save_artifacts=False, plot=False,
+            )
+            for sd in seed_datas
+        ]
+        perfs = train_gang(cfgs, ds)
+        accs[method] = [p["test_accuracy"][-1] for p in perfs]
+        print(f"murmur={murmur} conf={conf} noise={noise} {method}: "
+              f"{accs[method]}", flush=True)
+    return accs
+
+
+def main():
+    triples = [tuple(float(x) for x in a.split(",")) for a in sys.argv[1:]]
+    if not triples:
+        triples = [(0.15, 1.2, 0.5), (0.12, 1.5, 0.6), (0.2, 1.0, 0.4)]
+    for m, c, n in triples:
+        probe(m, c, n)
+
+
+if __name__ == "__main__":
+    main()

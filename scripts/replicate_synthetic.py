@@ -197,6 +197,7 @@ def main(argv=None):
         lines.append(
             f"| {k[0]} | {v:.2f} | {m:.2f} | {m - v:+.2f} | "
             f"{p:.2f} | {p - v:+.2f} |")
+    effect_present = d_mix.mean() > 0
     lines += [
         "",
         f"**Paired mean Δ (PCGmix − Vanilla) at n_frac {low_nf}: "
@@ -205,12 +206,19 @@ def main(argv=None):
         f"**Paired mean Δ (PCGmix+ − Vanilla): {d_plus.mean():+.2f} pt "
         f"(SD {d_plus.std():.2f}).**",
         "",
-        "The effect matches the paper's low-data story "
-        "(BASELINE.md n_frac 0.1 rows: PCGmix +2.1 pt, PCGmix+ +3.0 pt "
-        "over vanilla on ResNet9): segment-aligned same-class mixing "
-        "dilutes the per-recording confounders the vanilla model memorizes "
-        "while preserving the murmur, so it helps exactly where data is "
-        "scarce and fades at n_frac 1.0.",
+        (
+            "The effect matches the paper's low-data story "
+            "(BASELINE.md n_frac 0.1 rows: PCGmix +2.1 pt, PCGmix+ +3.0 pt "
+            "over vanilla on ResNet9): segment-aligned same-class mixing "
+            "dilutes the per-recording confounders the vanilla model "
+            "memorizes while preserving the murmur, so it helps exactly "
+            "where data is scarce and fades at n_frac 1.0."
+            if effect_present else
+            "**EFFECT ABSENT in this configuration** — the paired "
+            "improvement is not positive.  (The mini/CPU config trains too "
+            "few rows for too few epochs to learn anything above chance; "
+            "only the full config is evidence either way.)"
+        ),
     ]
     with open(args.out, "w") as f:
         f.write("\n".join(lines) + "\n")
