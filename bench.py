@@ -361,6 +361,9 @@ def bench_gang_rows() -> dict:
     gang = bench_gang.build(use_pallas=True, gang_s=8)
     gang_rates = bench_gang.measure(gang, reps=3)
     _log(f"gang rows: gang-8 median {st.median(gang_rates):.0f} samples/s")
+    del gang  # drop the stacked gang state before the control arm
+    # (bench_gang.main discipline: measure the control under the same HBM
+    # pressure as the seq arm, and don't OOM tighter chips)
     # interleaved control: has the tunnel drifted under the gang arm?
     seq_ctl = bench_gang.measure(seq, reps=2)
     seq_sps = st.median(seq_rates + seq_ctl)

@@ -788,6 +788,13 @@ class AugmentEngine:
             return plan.arrays, plan
         return self.identity_arrays(step, frames, labels, wavs, **kw), None
 
+    def has_identity_template(self, frames, labels) -> bool:
+        """True when identity_arrays for this (batch, frames-width) key is
+        already cached — callers can then skip building the frozen-model
+        hook kwargs, which only matter on the one-time template build."""
+        cache = getattr(self, "_identity_cache", None) or {}
+        return (len(labels), np.asarray(frames).shape[-1]) in cache
+
     def identity_arrays(self, step, frames, labels, wavs=None, **kw):
         """A no-op plan with the method's array structure, cached per batch
         size.  The identity rewrite depends only on shapes, so one forced

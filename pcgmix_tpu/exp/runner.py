@@ -223,13 +223,32 @@ def run_grid(
                cfg.op, cfg.compute_dtype, cfg.num_channels)
         if key not in auto_cache:
             rows = _train_rows()
-            corpus_bytes = (
-                rows * cfg.sig_len * cfg.sig_len * 4 if cfg.spectrogram
-                else rows * cfg.num_channels * cfg.sig_len * 4
+            d = (
+                dataset["train"]
+                if "train" in dataset and "test" in dataset else dataset
             )
-            auto_cache[key] = estimate_gang_max_size(
-                cfg, train_size=rows, corpus_bytes=corpus_bytes
-            )
+            if cfg.spectrogram:
+                # real row shape from the data: spec configs keep sig_len at
+                # its 1-D meaning, so deriving the image from cfg is wrong
+                row_shape = tuple(d["data"].shape[1:])
+                sample_shape = (1, *row_shape)
+                corpus_bytes = rows * 4
+                for dim in row_shape:
+                    corpus_bytes *= dim
+            else:
+                sample_shape = None
+                corpus_bytes = rows * cfg.num_channels * cfg.sig_len * 4
+            try:
+                auto_cache[key] = estimate_gang_max_size(
+                    cfg, train_size=rows, corpus_bytes=corpus_bytes,
+                    sample_shape=sample_shape,
+                )
+            except Exception as e:  # noqa: BLE001 - sizing must not kill grids
+                print(
+                    f"gang auto-size failed ({type(e).__name__}: {e}) — "
+                    f"ganging unchunked; set --gang-max-size explicitly"
+                )
+                auto_cache[key] = 0
             if progress:
                 print(
                     f"gang auto-size: S_max={auto_cache[key]} "

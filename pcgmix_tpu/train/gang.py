@@ -158,7 +158,8 @@ def _validate_members(cfgs: list[TrainConfig]) -> None:
 
 
 def group_gangable(
-    cfgs: list[TrainConfig], dataset: dict, model_hooks: bool = False
+    cfgs: list[TrainConfig], dataset: Optional[dict] = None,
+    model_hooks: bool = False,
 ) -> list[list[TrainConfig]]:
     """Bucket configs into gangs that can train as one program.
 
@@ -167,13 +168,17 @@ def group_gangable(
     splits are handled by the ragged gang path (:func:`_train_gang_ragged`)
     for EVERY eligible method — including the latent split-forward and
     frozen-model-hook families, which it dispatches per draw group / with
-    per-member hooks — so split shape never splits buckets.
+    per-member hooks — so split shape never splits buckets.  Grouping is
+    therefore CONFIG-ONLY: ``dataset`` is accepted (and ignored) for
+    backward compatibility with the pre-ragged signature, which bucketed
+    by probed split size.
     ``model_hooks`` mirrors :func:`gang_ineligible_reason`'s flag (the
     runner passes True because it wires the frozen-model providers).
     Singleton buckets (and ineligible configs) should run via
     :func:`pcgmix_tpu.train.loop.train_model`.  Bucket order follows first
     appearance; members keep input order.
     """
+    del dataset  # config-only grouping (see docstring)
     groups: dict = {}
     order: list = []
     for cfg in cfgs:
@@ -368,13 +373,46 @@ def _jaxpr_intermediate_bytes(jaxpr) -> int:
         for v in eqn.outvars:
             aval = getattr(v, "aval", None)
             if aval is not None and getattr(aval, "shape", None) is not None:
-                total += int(np.prod(aval.shape)) * np.dtype(aval.dtype).itemsize
+                try:
+                    itemsize = np.dtype(aval.dtype).itemsize
+                except TypeError:
+                    itemsize = 8  # extended dtypes (typed PRNG keys etc.)
+                total += int(np.prod(aval.shape)) * itemsize
         for p in eqn.params.values():
             for sub in (p if isinstance(p, (tuple, list)) else (p,)):
                 inner = getattr(sub, "jaxpr", None)
                 if inner is not None:
                     total += _jaxpr_intermediate_bytes(inner)
     return total
+
+
+def _abstract_variables(cfg: TrainConfig, batch_size: int,
+                        sample_shape: Optional[tuple] = None):
+    """(model, abstract sample, eval_shape'd variables) for ``cfg`` — the
+    shared scaffold of the memory estimator and the profitability heuristic.
+
+    ``sample_shape`` is the model-input shape EXCLUDING the batch axis; when
+    None it is derived from the config, which for spectrograms assumes a
+    square ``(1, sig_len, sig_len)`` image — callers that hold the data
+    (the runner) pass the real row shape instead, since spec configs keep
+    ``sig_len`` at its 1-D meaning."""
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    model = build_model(
+        cfg.model, cfg.dataset, cfg.num_classes, train=True,
+        compute_dtype=dtype,
+    )
+    if sample_shape is None:
+        if cfg.spectrogram:
+            sample_shape = (1, cfg.sig_len, cfg.sig_len)
+        else:
+            sample_shape = (cfg.num_channels, cfg.sig_len)
+    sample = jax.ShapeDtypeStruct(
+        (batch_size, *sample_shape), jnp.float32
+    )
+    variables = jax.eval_shape(
+        lambda s: model.init(jax.random.PRNGKey(0), s), sample
+    )
+    return model, sample, variables
 
 
 def estimate_gang_max_size(
@@ -384,6 +422,7 @@ def estimate_gang_max_size(
     hbm_bytes: Optional[int] = None,
     reuse: float = 0.25,
     safety: float = 0.8,
+    sample_shape: Optional[tuple] = None,
 ) -> int:
     """Default gang size cap from device memory (the reference's grids run
     up to 333 seeds per point, read_experiments.py:20-59 — a gang that size
@@ -409,21 +448,8 @@ def estimate_gang_max_size(
     does not report one (CPU dryrun meshes).  The runner uses this as the
     ``--gang-max-size`` default; the manual flag overrides.
     """
-    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
-    model = build_model(
-        cfg.model, cfg.dataset, cfg.num_classes, train=True,
-        compute_dtype=dtype,
-    )
-    if cfg.spectrogram:
-        sample = jax.ShapeDtypeStruct(
-            (cfg.batch_size, 1, cfg.sig_len, cfg.sig_len), jnp.float32
-        )
-    else:
-        sample = jax.ShapeDtypeStruct(
-            (cfg.batch_size, cfg.num_channels, cfg.sig_len), jnp.float32
-        )
-    variables = jax.eval_shape(
-        lambda s: model.init(jax.random.PRNGKey(0), s), sample
+    model, sample, variables = _abstract_variables(
+        cfg, cfg.batch_size, sample_shape
     )
     opt_copies = 2 if cfg.op.lower() == "adam" else 1
     state_bytes = (
@@ -434,10 +460,13 @@ def estimate_gang_max_size(
     def loss_fn(params, bstats, x):
         # bstats rides as a traced ARGUMENT: captured eval_shape structs
         # cannot be used as constants inside make_jaxpr (BatchNorm's
-        # running-average update would hit float * ShapeDtypeStruct)
+        # running-average update would hit float * ShapeDtypeStruct).
+        # rngs: dropout models (the Potes family) refuse train-mode apply
+        # without a 'dropout' stream; harmless for the rest
         out = model.apply(
             {"params": params, "batch_stats": bstats},
             x, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(0)},
         )
         logits = out[0] if isinstance(out, tuple) else out
         return jnp.sum(jax.tree_util.tree_leaves(logits)[0])
@@ -469,22 +498,7 @@ def gang_profitable(cfg: TrainConfig, param_threshold: int = 1_000_000) -> bool:
     and host-side epoch machinery, so the runner gangs when asked and
     prints this signal rather than overriding the user.
     """
-    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
-    model = build_model(
-        cfg.model, cfg.dataset, cfg.num_classes, train=True,
-        compute_dtype=dtype,
-    )
-    if cfg.spectrogram:
-        sample = jax.ShapeDtypeStruct(
-            (1, 1, cfg.sig_len, cfg.sig_len), jnp.float32
-        )
-    else:
-        sample = jax.ShapeDtypeStruct(
-            (1, cfg.num_channels, cfg.sig_len), jnp.float32
-        )
-    variables = jax.eval_shape(
-        lambda s: model.init(jax.random.PRNGKey(0), s), sample
-    )
+    _, _, variables = _abstract_variables(cfg, 1)
     params = sum(
         int(np.prod(x.shape))
         for x in jax.tree_util.tree_leaves(variables["params"])
@@ -665,6 +679,29 @@ def train_gang(
     # draw and '+p' gate are step-seeded, hence member-uniform
     latent_mode = enabled and engines[0].spec.latent
 
+    def _hook_kw(s, rows_np, frames):
+        """Frozen-model planning kwargs for member s: the member's device
+        batch, gathered from the shared base (bit-equal to its standalone
+        staging — provenance-checked above), feeds its per-member saliency
+        provider / the shared embedding fn."""
+        if not hook_mode:
+            return {}
+        kw = {}
+        rows_dev = jnp.asarray(rows_np)
+        data_dev = jnp.take(base_data, rows_dev, axis=0)
+        if needs_lat:
+            kw["latent_fn"] = lambda d=data_dev: latent_feature_fn(d)
+        if needs_sal:
+            target_dev = jax.nn.one_hot(
+                jnp.take(base_labels, rows_dev),
+                cfg0.num_classes, dtype=base_data.dtype,
+            )
+            kw["saliency_fn"] = (
+                lambda mix_model, s=s, d=data_dev, t=target_dev, f=frames:
+                saliency_model_providers[s](mix_model)(d, t, f)
+            )
+        return kw
+
     def _vmapped(raw, with_plan):
         def member_step(st, idx, rows, plan, epoch, rng):
             return raw(st, {"indices": idx, "rows": rows}, plan, epoch, rng)
@@ -840,9 +877,15 @@ def train_gang(
                 [rows[b["indices"]] for rows, b in zip(member_rows, batches)]
             )
             if latent_mode:
+                # hook_kw feeds closest-paired latent methods, e.g.
+                # (closestknn=K)latentmixup — pairing needs the frozen
+                # embedding fn exactly like train_model (loop.py plan call)
                 plans = [
-                    eng.plan(step_count, b["frames"], b["label"], b["wav"])
-                    for eng, b in zip(engines, batches)
+                    eng.plan(
+                        step_count, b["frames"], b["label"], b["wav"],
+                        **_hook_kw(s, rows_s[s], b["frames"]),
+                    )
+                    for s, (eng, b) in enumerate(zip(engines, batches))
                 ]
                 shapes = {
                     (p is not None, p.latent_depth if p is not None else None)
@@ -873,37 +916,13 @@ def train_gang(
                 buf_idx.append(idx_s)
                 buf_rows.append(rows_s)
                 if enabled:
-                    arrs = []
-                    for s, (eng, b) in enumerate(zip(engines, batches)):
-                        kw = {}
-                        if hook_mode:
-                            # the member's device batch, gathered from the
-                            # shared base (bit-equal to its standalone
-                            # staging — provenance-checked above)
-                            rows_dev = jnp.asarray(rows_s[s])
-                            data_dev = jnp.take(base_data, rows_dev, axis=0)
-                            if needs_lat:
-                                kw["latent_fn"] = (
-                                    lambda d=data_dev: latent_feature_fn(d)
-                                )
-                            if needs_sal:
-                                target_dev = jax.nn.one_hot(
-                                    jnp.take(base_labels, rows_dev),
-                                    cfg0.num_classes, dtype=base_data.dtype,
-                                )
-                                kw["saliency_fn"] = (
-                                    lambda mix_model, s=s, d=data_dev,
-                                    t=target_dev, f=b["frames"]:
-                                    saliency_model_providers[s](mix_model)(
-                                        d, t, f
-                                    )
-                                )
-                        arrs.append(
-                            eng.plan_arrays_or_identity(
-                                step_count, b["frames"], b["label"],
-                                b["wav"], **kw,
-                            )[0]
-                        )
+                    arrs = [
+                        eng.plan_arrays_or_identity(
+                            step_count, b["frames"], b["label"], b["wav"],
+                            **_hook_kw(s, rows_s[s], b["frames"]),
+                        )[0]
+                        for s, (eng, b) in enumerate(zip(engines, batches))
+                    ]
                     buf_plans.append(_stack_trees(arrs))
                 buf_sids.append(step_count)
             lr_per_step.append(float(lr_table[step_count]))
@@ -1437,10 +1456,12 @@ def _train_gang_ragged(
                 if latent_mode:
                     # per-member draw: each member's own step id seeds its
                     # gate/depth, diverging across ragged members — grouped
-                    # per-draw dispatch below
+                    # per-draw dispatch below.  hook_kw feeds closest-paired
+                    # latent methods, e.g. (closestknn=K)latentmixup
                     latent_plans.append(
                         engines[s].plan(
-                            msteps[s], b["frames"], b["label"], b["wav"]
+                            msteps[s], b["frames"], b["label"], b["wav"],
+                            **hook_kw(s, rows_np, b["frames"]),
                         )
                         if active else None
                     )
@@ -1454,10 +1475,18 @@ def _train_gang_ragged(
                         # consumes no engine RNG (identity_arrays snapshots
                         # the mirror stream) — the member's plan trajectory
                         # stays bit-equal to its standalone run.  Hook kwargs
-                        # only matter on the one-time template build.
+                        # only matter on the one-time template build, so a
+                        # cached template skips the per-idle-step device
+                        # gather entirely.
                         arr = engines[s].identity_arrays(
                             msteps[s], b["frames"], b["label"], b["wav"],
-                            **hook_kw(s, rows_np, b["frames"]),
+                            **(
+                                {}
+                                if engines[s].has_identity_template(
+                                    b["frames"], b["label"]
+                                )
+                                else hook_kw(s, rows_np, b["frames"])
+                            ),
                         )
                     plan_r.append(arr)
                 sid_r.append(msteps[s])

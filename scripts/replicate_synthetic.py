@@ -155,6 +155,15 @@ def main(argv=None):
 
     def paired_improvement(label):
         keys = sorted(set(raw["Vanilla"]["low"]) & set(raw[label]["low"]))
+        if not keys:
+            # distinguish "no finished runs found" from a real null result:
+            # nan-mean would otherwise report EFFECT ABSENT with the wrong
+            # diagnosis (e.g. an interrupted grid or a drifted run-dir name)
+            found = {k: sorted(v["low"]) for k, v in raw.items()}
+            raise SystemExit(
+                f"replication runs missing — no paired ({label}, Vanilla) "
+                f"draws finished at n_frac {low_nf}; found: {found}"
+            )
         d = np.array([raw[label]["low"][k] - raw["Vanilla"]["low"][k]
                       for k in keys])
         return d, keys

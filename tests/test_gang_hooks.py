@@ -238,3 +238,23 @@ def test_runner_gangs_salopt_with_dependency_gang(tmp_path, capsys,
         assert os.path.exists(
             os.path.join(experiment_dir(cfg), "performance.pkl")
         )
+
+
+def test_closest_paired_latent_gang_matches_singles(tmp_path, equal_seed_datas):
+    """(closestknn=2)latentmixup — latent split-forward AND closest pairing
+    combined: the latent-mode plan call must carry the frozen-embedding
+    hook kwargs (the pairing evaluates latent_fn), exactly like
+    train_model's plan call (loop.py).  Regression for the gang latent
+    branch planning without hooks."""
+    from pcgmix_tpu.latent import latent_pretrain_config
+
+    root = str(tmp_path / "latmix")
+    cfgs = [
+        _cfg(root, seed_data=sd, method="(closestknn=2)latentmixup")
+        for sd in equal_seed_datas
+    ]
+    dep = latent_pretrain_config(cfgs[0])
+    train_model(dep, DS)
+    gang = train_gang(cfgs, DS)
+    singles = [train_model(c, DS) for c in cfgs]
+    _tight(gang, singles)

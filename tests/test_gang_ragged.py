@@ -451,3 +451,42 @@ def test_ragged_checkpoint_resume(umc_dataset, tmp_path, monkeypatch):
         assert os.path.exists(
             os.path.join(experiment_dir(cfg), "model.msgpack")
         )
+
+
+def test_ragged_closest_paired_latent_parity(tmp_path):
+    """(closestknn=2)latentmixup across UNEQUAL PhysioNet subsets: the
+    ragged latent branch's plan call must carry the frozen-embedding hook
+    kwargs (pairing evaluates latent_fn).  Regression for latent-mode
+    planning without hooks; tolerances follow
+    test_ragged_latent_method_parity (split-forward cross-program chaos)."""
+    from pcgmix_tpu.latent import latent_pretrain_config
+
+    ds = synthetic_physionet_dict(
+        num_wavs_train=20, num_wavs_test=6, segments_per_wav=3,
+        sig_len=256, seed=11,
+    )
+    root = str(tmp_path / "rag_latmix")
+
+    def cfg(sd):
+        return TrainConfig(
+            dataset="PhysioNet", model="resnet9-5k",
+            method="(closestknn=2)latentmixup", num_epochs=2,
+            batch_size=8, sig_len=256, n_fraction=0.5, op="SGD",
+            seed_data=sd, experiments_root=root, loader_parity="numpy",
+            plot=False, save_artifacts=False,
+        )
+
+    sizes = [
+        (len(build_splits(cfg(1100000 + i), ds)[0]), 1100000 + i)
+        for i in range(1, 13)
+    ]
+    uneq = next(
+        ((a[1], b[1]) for a in sizes for b in sizes if a[0] != b[0]), None
+    )
+    assert uneq, "no unequal-sized seed_data pair in probe range"
+    cfgs = [cfg(sd) for sd in uneq]
+    dep = latent_pretrain_config(cfgs[0])
+    train_model(dep, ds)
+    gang = train_gang(cfgs, ds)
+    singles = [train_model(c, ds) for c in cfgs]
+    _assert_member_parity(gang, singles, loss_rtol=0.15, loss_atol=0.05)

@@ -199,3 +199,26 @@ def test_gang_advisory_printed_for_big_model(
     assert out.count("gang advisory:") == 1
     assert "gang of 4" in out
     assert len(ran) == 4
+
+
+def test_estimate_gang_max_size_dropout_and_spec_shapes():
+    """Regressions: (a) dropout models (the Potes family) must trace — the
+    estimator's train-mode apply needs a 'dropout' rng stream; (b) the
+    spectrogram sample shape comes from the caller (sample_shape), not from
+    sig_len, which spec configs keep at its 1-D meaning."""
+    from pcgmix_tpu.train.gang import estimate_gang_max_size
+
+    potes = TrainConfig(dataset="PhysioNet", model="Potes", batch_size=64,
+                        sig_len=2500)
+    s = estimate_gang_max_size(potes, train_size=2000,
+                               hbm_bytes=16 * 1024**3)
+    assert s >= 8, s  # 130k params: big gangs fit
+
+    spec = TrainConfig(dataset="PhysioNet(spec128)", model="resnet9",
+                       batch_size=16)
+    # must not trace a (16, 1, 2500, 2500) monster; runs in milliseconds
+    # and returns a sane floor with the REAL 128x128 row shape
+    s128 = estimate_gang_max_size(spec, train_size=500,
+                                  hbm_bytes=64 * 1024**3,
+                                  sample_shape=(1, 128, 128))
+    assert s128 >= 1
