@@ -21,8 +21,12 @@ CORPUS_KW = dict(num_wavs_train=240, num_wavs_test=200,
                  segments_per_wav=8, sig_len=2500)
 
 
+MODEL = "resnet9"
+SEED_DATAS = (1010001, 1010002)
+
+
 def probe(murmur, conf, noise, methods=("base", "durratiomixup+1.0"),
-          seed_datas=(1010001, 1010002), num_epochs=50):
+          seed_datas=None, num_epochs=50):
     ds = synthetic_effect_dict(
         seed=7, murmur_amp=murmur, confounder_amp=conf, noise_amp=noise,
         **CORPUS_KW)
@@ -30,22 +34,32 @@ def probe(murmur, conf, noise, methods=("base", "durratiomixup+1.0"),
     for method in methods:
         cfgs = [
             TrainConfig(
-                dataset="PhysioNet", model="resnet9", method=method,
+                dataset="PhysioNet", model=MODEL, method=method,
                 num_epochs=num_epochs, n_fraction=0.1, seed_data=sd, seed=1,
                 compute_dtype="bfloat16", steps_per_dispatch=8,
                 loader_parity="numpy", save_artifacts=False, plot=False,
             )
-            for sd in seed_datas
+            for sd in (seed_datas or SEED_DATAS)
         ]
         perfs = train_gang(cfgs, ds)
         accs[method] = [p["test_accuracy"][-1] for p in perfs]
-        print(f"murmur={murmur} conf={conf} noise={noise} {method}: "
+        print(f"murmur={murmur} conf={conf} noise={noise} {MODEL} {method}: "
               f"{accs[method]}", flush=True)
     return accs
 
 
 def main():
-    triples = [tuple(float(x) for x in a.split(",")) for a in sys.argv[1:]]
+    global MODEL, SEED_DATAS
+    args = list(sys.argv[1:])
+    if "--model" in args:
+        i = args.index("--model")
+        MODEL = args[i + 1]
+        del args[i:i + 2]
+    if "--draws" in args:
+        i = args.index("--draws")
+        SEED_DATAS = tuple(range(1010001, 1010001 + int(args[i + 1])))
+        del args[i:i + 2]
+    triples = [tuple(float(x) for x in a.split(",")) for a in args]
     if not triples:
         triples = [(0.15, 1.2, 0.5), (0.12, 1.5, 0.6), (0.2, 1.0, 0.4)]
     for m, c, n in triples:

@@ -87,6 +87,10 @@ def main(argv=None):
     ap.add_argument("--murmur-amp", type=float, default=0.35)
     ap.add_argument("--confounder-amp", type=float, default=0.8)
     ap.add_argument("--noise-amp", type=float, default=0.25)
+    ap.add_argument("--model", default=None,
+                    help="override the grid model (resnet9 | Potes — both "
+                         "are paper headline models; robust '+cp' schedules "
+                         "apply to either)")
     args = ap.parse_args(argv)
 
     if args.mini:
@@ -109,6 +113,8 @@ def main(argv=None):
         corpus_kw = dict(num_wavs_train=240, num_wavs_test=200,
                          segments_per_wav=8, sig_len=2500)
         model, epochs_note = "resnet9", "full"
+    if args.model:
+        model = args.model
 
     dataset = synthetic_effect_dict(
         seed=7, murmur_amp=args.murmur_amp,
