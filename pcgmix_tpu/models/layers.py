@@ -47,11 +47,73 @@ def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, -b, b)
 
 
+class _MatmulConv1d(nn.Module):
+    """nn.Conv-compatible 1-D conv computed as K shifted batched matmuls:
+
+        y[b, t, f] = sum_k  x_pad[b, t*stride + k, c] @ kernel[k, c, f]
+
+    Same params as flax ``nn.Conv`` (kernel ``(K, Cin, Cout)``, bias
+    ``(Cout,)``), same numerics up to float reassociation — but the
+    contraction is a plain ``dot_general``, so a weight-batched (vmapped)
+    call lowers to native batched matmuls on the MXU.  XLA lowers a
+    vmapped-conv instead to a block-diagonal grouped convolution, which is
+    the measured reason ResNet9 gangs lost to sequential runs (BENCH.md
+    gang table, r4).  Instantiated under the name ``Conv_0`` so the param
+    tree is byte-identical to the ``nn.Conv`` path (checkpoints/transplants
+    work across both impls).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    pad_lo: int
+    pad_hi: int
+    use_bias: bool
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", torch_conv_kernel_init,
+            (k, x.shape[-1], self.features),
+        )
+        bias = (
+            self.param(
+                "bias", make_torch_bias_init(x.shape[-1] * k),
+                (self.features,),
+            )
+            if self.use_bias else None
+        )
+        x, kernel, bias = nn.dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype
+        )
+        xp = jnp.pad(x, ((0, 0), (self.pad_lo, self.pad_hi), (0, 0)))
+        t_out = (xp.shape[1] - k) // self.stride + 1
+        span = (t_out - 1) * self.stride + 1
+        y = None
+        for i in range(k):
+            xi = jax.lax.slice_in_dim(xp, i, i + span, self.stride, axis=1)
+            yi = jax.lax.dot_general(
+                xi, kernel[i], (((2,), (0,)), ((), ()))
+            )
+            y = yi if y is None else y + yi
+        if bias is not None:
+            y = y + bias
+        return y
+
+
 class Conv1d(nn.Module):
     """1-D conv on (B, T, C) with explicit symmetric padding (torch-style).
 
     ``dtype`` is the computation dtype (params stay float32): bfloat16 runs
     the MXU at full rate on TPU; None keeps float32 for reference parity.
+
+    ``impl`` selects the compute path — same params, same math:
+      * ``"xla"`` (default): flax ``nn.Conv`` → XLA convolution;
+      * ``"matmul"``: K shifted batched matmuls (``_MatmulConv1d``) — the
+        gang-training path for weight-batched (vmapped) models, where XLA's
+        grouped-conv lowering of a vmapped conv underuses the MXU.
     """
 
     features: int
@@ -60,6 +122,7 @@ class Conv1d(nn.Module):
     use_bias: bool = True
     stride: int = 1
     dtype: Any = None
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
@@ -67,6 +130,22 @@ class Conv1d(nn.Module):
         if isinstance(pad, int):
             pad = [(pad, pad)]
         fan_in = x.shape[-1] * self.kernel_size
+        if self.impl == "matmul":
+            if pad == "SAME":
+                if self.stride != 1:
+                    raise ValueError(
+                        "impl='matmul' supports 'SAME' padding only at "
+                        "stride 1 (strided SAME is input-size-dependent)"
+                    )
+                # flax/XLA SAME for stride 1: total k-1, split low-heavy
+                # torch-style (lo = (k-1)//2, hi = k//2)
+                lo, hi = (self.kernel_size - 1) // 2, self.kernel_size // 2
+            else:
+                (lo, hi), = pad
+            return _MatmulConv1d(
+                self.features, self.kernel_size, self.stride, lo, hi,
+                self.use_bias, self.dtype, name="Conv_0",
+            )(x)
         return nn.Conv(
             self.features,
             (self.kernel_size,),

@@ -29,13 +29,16 @@ class _PotesBranch(nn.Module):
     dropout: float
     train: bool
     dtype: Any = None
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
-        x = Conv1d(self.layers[0], 5, padding=1, dtype=self.dtype)(x)
+        x = Conv1d(self.layers[0], 5, padding=1, dtype=self.dtype,
+                   impl=self.conv_impl)(x)
         x = nn.relu(x)
         x = max_pool_1d(x, 2)
-        x = Conv1d(self.layers[1], 5, padding=1, dtype=self.dtype)(x)
+        x = Conv1d(self.layers[1], 5, padding=1, dtype=self.dtype,
+                   impl=self.conv_impl)(x)
         x = nn.relu(x)
         x = max_pool_1d(x, 2)
         if self.dropout:
@@ -49,10 +52,12 @@ class PotesCNN(nn.Module):
     dropout: float = 0.25
     train: bool = True
     dtype: Any = None
+    conv_impl: str = "xla"
 
     def _features(self, x):
         branch = _PotesBranch(self.layers, self.dropout, self.train,
-                              dtype=self.dtype, name="cnn1")
+                              dtype=self.dtype, conv_impl=self.conv_impl,
+                              name="cnn1")
         outs = []
         for c in range(x.shape[1]):
             band = jnp.transpose(x[:, c : c + 1, :], (0, 2, 1))  # (B, T, 1)

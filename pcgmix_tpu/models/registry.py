@@ -82,6 +82,7 @@ def build_model(
     num_classes: int = 2,
     train: bool = True,
     compute_dtype: Any = None,
+    conv_impl: str = "xla",
 ) -> Any:
     """Instantiate a model by its reference name (train_model.py:294-386).
 
@@ -94,6 +95,11 @@ def build_model(
     OmniScaleCNN.  Families that ignore it (always fp32): FCN(Plus),
     ResCNN, ResNet(Plus), Singstad_d*, RNN/LSTM/GRU — small or
     scan-sequential nets where bf16 buys nothing (BENCH.md zoo rows).
+
+    ``conv_impl="matmul"`` switches 1-D convolutions to the shifted-
+    dot_general path (same param tree, float-reassociation-level numerics)
+    — the weight-batched gang fast path; honored by the ResNet9 1-D
+    presets and Potes, ignored elsewhere.
     """
     if dataset in ("PhysioNet(spec128)", "UMC(spec128)", "UMC(spec64)"):
         if name == "resnet9":
@@ -102,11 +108,11 @@ def build_model(
     if name in RESNET9_PRESETS:
         return ResNet9_1D(
             num_classes=num_classes, filters=RESNET9_PRESETS[name], train=train,
-            dtype=compute_dtype,
+            dtype=compute_dtype, conv_impl=conv_impl,
         )
     if name in POTES_PRESETS:
         return PotesCNN(num_classes=num_classes, train=train, dtype=compute_dtype,
-                        **POTES_PRESETS[name])
+                        conv_impl=conv_impl, **POTES_PRESETS[name])
     if name == "FCN":
         return FCN(num_classes=num_classes, train=train)
     if name == "FCN(custom)":

@@ -30,10 +30,12 @@ class _ConvBlock(nn.Module):
     pool: bool = False
     train: bool = True
     dtype: Any = None
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
-        x = Conv1d(self.features, 3, padding=1, dtype=self.dtype)(x)
+        x = Conv1d(self.features, 3, padding=1, dtype=self.dtype,
+                   impl=self.conv_impl)(x)
         x = BatchNorm(use_running_average=not self.train, dtype=self.dtype)(x)
         x = nn.relu(x)
         if self.pool:
@@ -48,10 +50,14 @@ class ResNet9_1D(nn.Module):
     filters: Sequence[int] = (64, 128, 256, 512)
     train: bool = True
     dtype: Any = None  # computation dtype (bfloat16 = full-rate MXU)
+    conv_impl: str = "xla"  # "matmul" = shifted-dot_general convs (same
+                            # params/math; the gang-training fast path —
+                            # see layers._MatmulConv1d)
 
     def _block(self, features, name, pool=False):
         return _ConvBlock(features, pool=pool, train=self.train,
-                          dtype=self.dtype, name=name)
+                          dtype=self.dtype, conv_impl=self.conv_impl,
+                          name=name)
 
     def stage1(self, x):
         x = self._block(self.filters[0], "conv1")(x)

@@ -399,7 +399,7 @@ def _abstract_variables(cfg: TrainConfig, batch_size: int,
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
     model = build_model(
         cfg.model, cfg.dataset, cfg.num_classes, train=True,
-        compute_dtype=dtype,
+        compute_dtype=dtype, conv_impl=cfg.conv_impl,
     )
     if sample_shape is None:
         if cfg.spectrogram:
@@ -597,10 +597,12 @@ def train_gang(
 
     dtype = jnp.bfloat16 if cfg0.compute_dtype == "bfloat16" else None
     model = build_model(
-        cfg0.model, cfg0.dataset, cfg0.num_classes, train=True, compute_dtype=dtype
+        cfg0.model, cfg0.dataset, cfg0.num_classes, train=True,
+        compute_dtype=dtype, conv_impl=cfg0.conv_impl,
     )
     model_eval = build_model(
-        cfg0.model, cfg0.dataset, cfg0.num_classes, train=False, compute_dtype=dtype
+        cfg0.model, cfg0.dataset, cfg0.num_classes, train=False,
+        compute_dtype=dtype, conv_impl=cfg0.conv_impl,
     )
     tx = make_optimizer(
         cfg0.op, cfg0.lr_max, cfg0.weight_decay, cfg0.grad_clip,
@@ -1127,10 +1129,12 @@ def _train_gang_ragged(
 
     dtype = jnp.bfloat16 if cfg0.compute_dtype == "bfloat16" else None
     model = build_model(
-        cfg0.model, cfg0.dataset, cfg0.num_classes, train=True, compute_dtype=dtype
+        cfg0.model, cfg0.dataset, cfg0.num_classes, train=True,
+        compute_dtype=dtype, conv_impl=cfg0.conv_impl,
     )
     model_eval = build_model(
-        cfg0.model, cfg0.dataset, cfg0.num_classes, train=False, compute_dtype=dtype
+        cfg0.model, cfg0.dataset, cfg0.num_classes, train=False,
+        compute_dtype=dtype, conv_impl=cfg0.conv_impl,
     )
 
     if cfg0.use_sched:

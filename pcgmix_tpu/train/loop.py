@@ -97,6 +97,12 @@ class TrainConfig:
     steps_per_dispatch: int = 1  # >1: fuse K steps per dispatch via lax.scan
                                  # (device-resident methods only; gated-off
                                  # steps ride as identity plans)
+    conv_impl: str = "xla"  # "matmul": 1-D convs as shifted dot_generals
+                            # (same params/math to reassociation level) —
+                            # the weight-batched gang fast path where XLA's
+                            # grouped-conv lowering of a vmapped conv
+                            # underuses the MXU (BENCH.md gang table);
+                            # honored by ResNet9-1D/Potes, ignored elsewhere
     eval_batch_size: int = 1000
     cvd_map: Optional[object] = None  # dict wav→diagnosis, or a cvds_map.csv
                                       # path (augmentations.py:26-28)
@@ -230,10 +236,12 @@ def train_model(
 
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
     model = build_model(
-        cfg.model, cfg.dataset, cfg.num_classes, train=True, compute_dtype=dtype
+        cfg.model, cfg.dataset, cfg.num_classes, train=True, compute_dtype=dtype,
+        conv_impl=cfg.conv_impl,
     )
     model_eval = build_model(
-        cfg.model, cfg.dataset, cfg.num_classes, train=False, compute_dtype=dtype
+        cfg.model, cfg.dataset, cfg.num_classes, train=False, compute_dtype=dtype,
+        conv_impl=cfg.conv_impl,
     )
 
     tx = make_optimizer(
