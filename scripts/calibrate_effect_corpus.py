@@ -6,8 +6,14 @@ augmentation can show an effect.  This probe trains vanilla and PCGmix at
 n_frac 0.1 for a few (murmur, confounder, noise) triples and reports test
 accuracy, so the full grid runs in a regime with headroom (vanilla ~60-85%).
 
-Usage: python scripts/calibrate_effect_corpus.py [murmur conf noise]...
-(each triple comma-separated, e.g. 0.15,1.2,0.5)
+Usage:
+    python scripts/calibrate_effect_corpus.py [flags] [murmur,conf,noise]...
+Flags:
+    --model M        grid model (default resnet9)
+    --draws N        number of seed_data subset draws (default 2)
+    --band LO,HI     murmur_band override (default 120,180)
+    --methods a;b;c  ';'-separated method list
+                     (default "base;durratiomixup+1.0")
 """
 
 from __future__ import annotations
@@ -23,15 +29,16 @@ CORPUS_KW = dict(num_wavs_train=240, num_wavs_test=200,
 
 MODEL = "resnet9"
 SEED_DATAS = (1010001, 1010002)
+BAND = (120.0, 180.0)
+METHODS = ("base", "durratiomixup+1.0")
 
 
-def probe(murmur, conf, noise, methods=("base", "durratiomixup+1.0"),
-          seed_datas=None, num_epochs=50):
+def probe(murmur, conf, noise, methods=None, seed_datas=None, num_epochs=50):
     ds = synthetic_effect_dict(
         seed=7, murmur_amp=murmur, confounder_amp=conf, noise_amp=noise,
-        **CORPUS_KW)
+        murmur_band=BAND, **CORPUS_KW)
     accs = {}
-    for method in methods:
+    for method in (methods or METHODS):
         cfgs = [
             TrainConfig(
                 dataset="PhysioNet", model=MODEL, method=method,
@@ -43,13 +50,13 @@ def probe(murmur, conf, noise, methods=("base", "durratiomixup+1.0"),
         ]
         perfs = train_gang(cfgs, ds)
         accs[method] = [p["test_accuracy"][-1] for p in perfs]
-        print(f"murmur={murmur} conf={conf} noise={noise} {MODEL} {method}: "
-              f"{accs[method]}", flush=True)
+        print(f"murmur={murmur} conf={conf} noise={noise} band={BAND} "
+              f"{MODEL} {method}: {accs[method]}", flush=True)
     return accs
 
 
 def main():
-    global MODEL, SEED_DATAS
+    global MODEL, SEED_DATAS, BAND, METHODS
     args = list(sys.argv[1:])
     if "--model" in args:
         i = args.index("--model")
@@ -58,6 +65,14 @@ def main():
     if "--draws" in args:
         i = args.index("--draws")
         SEED_DATAS = tuple(range(1010001, 1010001 + int(args[i + 1])))
+        del args[i:i + 2]
+    if "--band" in args:
+        i = args.index("--band")
+        BAND = tuple(float(x) for x in args[i + 1].split(","))
+        del args[i:i + 2]
+    if "--methods" in args:
+        i = args.index("--methods")
+        METHODS = tuple(args[i + 1].split(";"))
         del args[i:i + 2]
     triples = [tuple(float(x) for x in a.split(",")) for a in args]
     if not triples:

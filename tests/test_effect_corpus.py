@@ -20,7 +20,7 @@ from pcgmix_tpu.data import synthetic_effect_dict
 @pytest.fixture(scope="module")
 def ds():
     return synthetic_effect_dict(
-        num_wavs_train=24, num_wavs_test=8, segments_per_wav=3, sig_len=1200,
+        num_wavs_train=60, num_wavs_test=8, segments_per_wav=3, sig_len=1200,
         seed=3, murmur_amp=0.3, confounder_amp=0.8, noise_amp=0.2,
     )
 
@@ -88,6 +88,47 @@ def test_recording_level_nuisance_consistency(ds):
         if len(rows) > 1:
             within.append(rows.std())
     assert np.mean(within) < 0.5 * rms.std()
+
+
+def test_murmur_band_structure(ds):
+    """The murmur is a TONE from murmur_band (120-180 Hz), constant per
+    recording: class-1 systoles carry in-band energy class-0 ones lack, and
+    the systole peak frequency agrees across cycles of one recording (the
+    per-cycle draws are phase/amplitude only).  This is what makes the
+    feature blend-stable under durratiomixup (see synthetic_effect_dict
+    docstring) and scarce at low n_fraction (few freqs per subset)."""
+    split = ds["train"]
+    d, f, y, w = _band(split), split["frames"], split["label"], split["wav"]
+    fs = 1000.0
+
+    def band_frac(i):
+        seg = d[i, f[i, 1]:f[i, 2]].astype(np.float64)
+        spec = np.abs(np.fft.rfft(seg)) ** 2
+        freqs = np.fft.rfftfreq(len(seg), 1 / fs)
+        inband = spec[(freqs >= 120) & (freqs <= 180)].sum()
+        return inband / max(spec.sum(), 1e-12)
+
+    frac1 = np.median([band_frac(i) for i in np.where(y == 1)[0]])
+    frac0 = np.median([band_frac(i) for i in np.where(y == 0)[0]])
+    assert frac1 > 2 * frac0, (frac1, frac0)
+
+    def peak_freq(i):
+        seg = d[i, f[i, 1]:f[i, 2]].astype(np.float64)
+        spec = np.abs(np.fft.rfft(seg, n=4096))
+        freqs = np.fft.rfftfreq(4096, 1 / fs)
+        mask = (freqs >= 120) & (freqs <= 180)
+        return freqs[mask][np.argmax(spec[mask])]
+
+    within, means = [], []
+    for name in np.unique(w[y == 1]):
+        rows = np.where(w == name)[0]
+        peaks = [peak_freq(i) for i in rows]
+        within.append(np.ptp(peaks))
+        means.append(np.mean(peaks))
+    # estimation noise on short windows allows a few Hz within a recording;
+    # across recordings the draws cover the 60 Hz band
+    assert np.median(within) < 10.0, within
+    assert np.ptp(means) > 25.0, means
 
 
 def test_difficulty_scales_with_amplitudes():
