@@ -447,6 +447,13 @@ def main(argv=None):
         help="abort the grid when a gang program fails at runtime instead "
              "of re-running its members sequentially",
     )
+    p.add_argument(
+        "--conv-impl", default="xla", choices=["xla", "matmul"],
+        help="1-D convolution compute path (same params/math): 'matmul' "
+             "runs convs as shifted batched dot_generals — the gang fast "
+             "path for big conv models, where XLA lowers vmapped-weight "
+             "convs as grouped contractions (BENCH.md gang table)",
+    )
     args = p.parse_args(argv)
 
     dataset = utils.file2dict(args.dataset_file)
@@ -470,6 +477,7 @@ def main(argv=None):
         classical_space=args.classical_space,
         latent_space=args.latent_space,
         true_seed=args.true_seed,
+        conv_impl=args.conv_impl,
     )
     run_grid(
         base_cfg,

@@ -32,7 +32,7 @@ MODEL = "resnet9"  # --model overrides: the gang thesis lives on the SMALL
 _SHARED: dict = {}  # one corpus + one device copy across every arm (HBM!)
 
 
-def build(use_pallas: bool, gang_s: int | None):
+def build(use_pallas: bool, gang_s: int | None, conv_impl: str = "xla"):
     """Returns run_window(start) -> samples-processed for one arm."""
     import jax
     import jax.numpy as jnp
@@ -58,7 +58,8 @@ def build(use_pallas: bool, gang_s: int | None):
         _SHARED["train_labels"] = jnp.asarray(_SHARED["train_ds"].label)
     train_ds = _SHARED["train_ds"]
 
-    model = build_model(MODEL, train=True, compute_dtype=jnp.bfloat16)
+    model = build_model(MODEL, train=True, compute_dtype=jnp.bfloat16,
+                        conv_impl=conv_impl)
     tx = make_optimizer("adam", 0.01, 1e-4, 0.1, 10_000, use_sched=True)
     variables = model.init(
         jax.random.PRNGKey(4), jnp.zeros((1, CHANNELS, SIG_LEN), jnp.float32)
@@ -263,8 +264,36 @@ def main():
     pallas_only = "--pallas-gangs" in args  # sweep PALLAS gangs per size
     if pallas_only:
         args.remove("--pallas-gangs")
+    conv_sweep = "--conv-sweep" in args  # A/B conv_impl xla vs matmul
+    if conv_sweep:
+        args.remove("--conv-sweep")
     gang_sizes = [int(x) for x in (args or ["4", "8"])]
     out = {"model": MODEL}
+    if conv_sweep:
+        # one process: sequential xla vs matmul, then matmul gangs per size
+        # (Pallas mix on everywhere — the shipping config), interleaved
+        # sequential-xla controls for tunnel drift
+        results = {}
+        seq_x = build(use_pallas=True, gang_s=None)
+        results["seq_xla"] = measure(seq_x)
+        seq_m = build(use_pallas=True, gang_s=None, conv_impl="matmul")
+        results["seq_matmul"] = measure(seq_m)
+        del seq_m
+        for s in gang_sizes:
+            for impl in ("matmul", "xla"):
+                g = build(use_pallas=True, gang_s=s, conv_impl=impl)
+                results[f"gang_{s}_{impl}"] = measure(g)
+                del g
+            results[f"seq_control_after_{s}"] = measure(seq_x, reps=2)
+        base = float(np.median(results["seq_xla"]))
+        for k, v in results.items():
+            out[k] = {
+                "samples_per_s": [round(float(x)) for x in v],
+                "median": round(float(np.median(v))),
+                "vs_seq_xla": round(float(np.median(v)) / base, 2),
+            }
+        print(json.dumps(out, indent=1))
+        return
     if pallas_only:
         results = {}
         seq_p = build(use_pallas=True, gang_s=None)
