@@ -157,3 +157,36 @@ def test_gang_conv_impl_matches_standalone():
         np.testing.assert_allclose(
             gp["train_loss"], sp["train_loss"], rtol=1e-3,
         )
+
+
+def test_runner_conv_impl_flag(tmp_path):
+    """--conv-impl matmul flows through the runner CLI to a finished run
+    whose accuracy matches the xla-conv run of the same grid cell."""
+    import glob
+    import os
+    import pickle
+
+    from pcgmix_tpu import utils
+    from pcgmix_tpu.data import synthetic_physionet_dict
+    from pcgmix_tpu.exp import runner
+
+    dat = str(tmp_path / "p.dat")
+    utils.dict2file(
+        synthetic_physionet_dict(16, 6, 2, 512, seed=1), dat
+    )
+    outs = {}
+    for impl in ("xla", "matmul"):
+        root = str(tmp_path / f"exp_{impl}")
+        runner.main([
+            "--dataset-file", dat, "--experiments-root", root,
+            "--methods", "durratiomixup", "--n-fractions", "1.0",
+            "--seeds", "1", "--model", "resnet9-5k", "--num-epochs", "2",
+            "--batch-size", "8", "--sig-len", "512", "--no-robust",
+            "--conv-impl", impl,
+        ])
+        (pkl,) = glob.glob(os.path.join(root, "*", "performance.pkl"))
+        with open(pkl, "rb") as f:
+            outs[impl] = pickle.load(f)
+    np.testing.assert_allclose(
+        outs["matmul"]["train_loss"], outs["xla"]["train_loss"], rtol=5e-2
+    )
