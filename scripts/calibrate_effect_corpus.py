@@ -12,6 +12,13 @@ Flags:
     --model M        grid model (default resnet9)
     --draws N        number of seed_data subset draws (default 2)
     --band LO,HI     murmur_band override (default 120,180)
+    --segs N         segments_per_wav override (default 8) — more cycles per
+                     recording keeps the low-n recording diversity fixed while
+                     giving the optimizer more steps per epoch, the lever
+                     against the never-learn bimodality at n_frac 0.1
+    --test-wavs N    num_wavs_test override (default 200) — at 200 test
+                     recordings, binomial eval noise alone puts ~±3.5 pt on a
+                     paired method delta; 800 halves it
     --methods a;b;c  ';'-separated method list
                      (default "base;durratiomixup+1.0")
 """
@@ -69,6 +76,14 @@ def main():
     if "--band" in args:
         i = args.index("--band")
         BAND = tuple(float(x) for x in args[i + 1].split(","))
+        del args[i:i + 2]
+    if "--segs" in args:
+        i = args.index("--segs")
+        CORPUS_KW["segments_per_wav"] = int(args[i + 1])
+        del args[i:i + 2]
+    if "--test-wavs" in args:
+        i = args.index("--test-wavs")
+        CORPUS_KW["num_wavs_test"] = int(args[i + 1])
         del args[i:i + 2]
     if "--methods" in args:
         i = args.index("--methods")

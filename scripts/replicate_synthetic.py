@@ -81,11 +81,27 @@ def main(argv=None):
     ap.add_argument("--full-seeds", type=int, default=5,
                     help="number of training seeds at n_fraction 1.0")
     ap.add_argument("--gang-devices", type=int, default=None)
+    ap.add_argument("--gang-max-size", type=int, default=8,
+                    help="gang chunk size (the memory estimator's S_max=2 "
+                         "for resnet9 is over-conservative on the 16 GiB "
+                         "v5e — S=8 gangs of this grid run fine on-chip)")
+    ap.add_argument("--segs", type=int, default=16,
+                    help="cycles per recording; more cycles keep the low-n "
+                         "RECORDING diversity fixed (the axis PCGmix "
+                         "densifies) while giving the optimizer enough "
+                         "steps per epoch to reliably escape chance — at 8, "
+                         "~20%% of n_frac-0.1 runs never learned (pure "
+                         "optimization noise, corr(base,mix)≈0 across "
+                         "draws), drowning the effect")
+    ap.add_argument("--test-wavs", type=int, default=800,
+                    help="test-set recordings; at 200, binomial eval noise "
+                         "alone is ~±3.5 pt on a paired method delta — 800 "
+                         "halves it, and eval is cheap relative to training")
     ap.add_argument("--experiments-root", default=None)
     ap.add_argument("--out", default=os.path.join(
         REPO, "artifacts", "replication_synthetic.md"))
-    ap.add_argument("--murmur-amp", type=float, default=0.35)
-    ap.add_argument("--confounder-amp", type=float, default=0.8)
+    ap.add_argument("--murmur-amp", type=float, default=0.55)
+    ap.add_argument("--confounder-amp", type=float, default=1.2)
     ap.add_argument("--noise-amp", type=float, default=0.25)
     ap.add_argument("--model", default=None,
                     help="override the grid model (resnet9 | Potes — both "
@@ -110,8 +126,8 @@ def main(argv=None):
         args.seed_datas = min(args.seed_datas, 2)
         args.full_seeds = min(args.full_seeds, 2)
     else:
-        corpus_kw = dict(num_wavs_train=240, num_wavs_test=200,
-                         segments_per_wav=8, sig_len=2500)
+        corpus_kw = dict(num_wavs_train=240, num_wavs_test=args.test_wavs,
+                         segments_per_wav=args.segs, sig_len=2500)
         model, epochs_note = "resnet9", "full"
     if args.model:
         model = args.model
@@ -144,10 +160,12 @@ def main(argv=None):
 
     run_grid(base_cfg, dataset, methods, [low_nf], seeds=[1],
              seed_datas=low_sds, robust=robust, gang=not args.no_gang,
-             gang_devices=args.gang_devices)
+             gang_devices=args.gang_devices,
+             gang_max_size=args.gang_max_size)
     run_grid(base_cfg, dataset, methods, [full_nf], seeds=full_seeds,
              seed_datas=[1100001], robust=robust, gang=not args.no_gang,
-             gang_devices=args.gang_devices)
+             gang_devices=args.gang_devices,
+             gang_max_size=args.gang_max_size)
 
     # ---- aggregate: paired per-seed + paper-shape table -------------------
     raw = {}
