@@ -19,6 +19,9 @@ Flags:
     --test-wavs N    num_wavs_test override (default 200) — at 200 test
                      recordings, binomial eval noise alone puts ~±3.5 pt on a
                      paired method delta; 800 halves it
+    --spread LO,HI   murmur_amp_spread override (default 0.3,1.7) — the
+                     per-recording murmur amplitude range; a narrower spread
+                     removes near-invisible-murmur recordings from the tail
     --methods a;b;c  ';'-separated method list
                      (default "base;durratiomixup+1.0")
 """
@@ -84,6 +87,11 @@ def main():
     if "--test-wavs" in args:
         i = args.index("--test-wavs")
         CORPUS_KW["num_wavs_test"] = int(args[i + 1])
+        del args[i:i + 2]
+    if "--spread" in args:
+        i = args.index("--spread")
+        CORPUS_KW["murmur_amp_spread"] = tuple(
+            float(x) for x in args[i + 1].split(","))
         del args[i:i + 2]
     if "--methods" in args:
         i = args.index("--methods")

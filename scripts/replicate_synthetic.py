@@ -231,13 +231,19 @@ def main(argv=None):
             f"| {k[0]} | {v:.2f} | {m:.2f} | {m - v:+.2f} | "
             f"{p:.2f} | {p - v:+.2f} |")
     effect_present = d_mix.mean() > 0
+
+    def stats_line(label, d):
+        se = d.std(ddof=1) / np.sqrt(len(d)) if len(d) > 1 else float("nan")
+        t = d.mean() / se if se and se > 0 else float("nan")
+        return (f"**Paired mean Δ ({label} − Vanilla) at n_frac {low_nf}: "
+                f"{d.mean():+.2f} pt (SD {d.std(ddof=1):.2f}, SE {se:.2f}, "
+                f"paired t = {t:.2f} over {len(d)} draws, "
+                f"{int((d > 0).sum())}/{len(d)} draws positive).**")
+
     lines += [
         "",
-        f"**Paired mean Δ (PCGmix − Vanilla) at n_frac {low_nf}: "
-        f"{d_mix.mean():+.2f} pt (SD {d_mix.std():.2f}, "
-        f"{int((d_mix > 0).sum())}/{len(d_mix)} draws positive).**",
-        f"**Paired mean Δ (PCGmix+ − Vanilla): {d_plus.mean():+.2f} pt "
-        f"(SD {d_plus.std():.2f}).**",
+        stats_line("PCGmix", d_mix),
+        stats_line("PCGmix+", d_plus),
         "",
         (
             "The effect matches the paper's low-data story "
@@ -262,6 +268,12 @@ def main(argv=None):
                     for k, d in raw.items()},
             "paired_mean_delta_pcgmix": float(d_mix.mean()),
             "paired_mean_delta_pcgmixplus": float(d_plus.mean()),
+            "paired_se_pcgmix": float(d_mix.std(ddof=1) / np.sqrt(len(d_mix))),
+            "paired_se_pcgmixplus": float(
+                d_plus.std(ddof=1) / np.sqrt(len(d_plus))),
+            "draws_positive_pcgmix": int((d_mix > 0).sum()),
+            "draws_positive_pcgmixplus": int((d_plus > 0).sum()),
+            "n_draws": len(d_mix),
             "mean_grid": mean.tolist(), "std_grid": std.tolist(),
             "ri_mean": ri_m.tolist(), "ri_std": ri_s.tolist(),
         }, f, indent=1)
