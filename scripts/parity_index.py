@@ -132,7 +132,7 @@ ENTRIES = [
      "ported", "pcgmix_tpu.classical.experiment:aggregate_features_single", ""),
     ("classical.py", "feature_vector_seg", 245, "ported",
      "pcgmix_tpu.classical.features:feature_vector_seg",
-     "255/255 feature-name parity; DSP stack reimplemented in classical.dsp (librosa/pywt/antropy absent here)"),
+     "255/255 feature-name parity machine-checked (tests/test_classical_feature_names.py); DSP stack reimplemented in classical.dsp (librosa/pywt/antropy absent here)"),
     ("classical.py", "mean_confidence_interval", 1295, "ported",
      "pcgmix_tpu.classical.experiment:mean_confidence_interval", ""),
     ("classical.py", "mean_SD_95CI", 1303, "ported",
