@@ -317,9 +317,22 @@ def test_gang_umc_sgd_tight_parity():
         np.testing.assert_allclose(
             g["test_loss"], s["test_loss"], rtol=2e-1, atol=1e-4
         )
-        np.testing.assert_allclose(
-            g["test_accuracy"], s["test_accuracy"], atol=13.0
+        # accuracy parity at the PREDICTION level (not a wide accuracy
+        # tolerance, which a one-recording flip would satisfy vacuously):
+        # tight train trajectory ⇒ per-wav votes must be identical;
+        # otherwise ≥75% of (epoch, wav) cells must agree — the same
+        # discipline `_assert_member_parity` applies.
+        gv, sv = g["test_wav_preds"], s["test_wav_preds"]
+        assert len(gv) == len(sv) and all(
+            e_g.keys() == e_s.keys() for e_g, e_s in zip(gv, sv)
         )
+        if np.allclose(g["train_loss"], s["train_loss"], rtol=1e-3):
+            assert gv == sv, "tight trajectory but recording votes differ"
+        else:
+            agree = np.mean([
+                e_g[w] == e_s[w] for e_g, e_s in zip(gv, sv) for w in e_g
+            ])
+            assert agree >= 0.75, f"vote agreement {agree:.2f} < 0.75"
 
 
 def test_gang_sgd_tight_parity(tiny_dataset, seed_datas):
