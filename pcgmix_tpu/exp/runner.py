@@ -85,8 +85,9 @@ def run_grid(
     TOGETHER in one vmapped program (pcgmix_tpu.train.gang) — the
     reference runs its ~10-member seed grids strictly sequentially
     (experiments_timeseries.ipynb cell 13).  Points a gang can't take
-    (lc-nointrusion/saliency-cutmix, singleton groups) fall back to the
-    sequential path.  Run dirs follow the same naming/artifact contract
+    (host-analysis dumps, singleton groups, ragged live-model groups —
+    lc-nointrusion/saliency-cutmix gang equal-size members via the
+    live-model mode, train/gang.py) fall back to the sequential path.  Run dirs follow the same naming/artifact contract
     either way; trained weights match up to vmap float reassociation (a
     gang-trained salopt DEPENDENCY checkpoint therefore differs from a
     sequentially trained one at that level, and the displacement search's
@@ -201,9 +202,10 @@ def run_grid(
             print(
                 f"gang advisory: {cfg.model} saturates the chip alone "
                 f"(≥1M params) — gangs measured 0.79-0.91× sequential "
-                f"steady-state on TPU v5e (BENCH.md); ganging anyway for "
-                f"compile amortization. Drop --gang for peak per-run "
-                f"throughput on this model."
+                f"steady-state on TPU v5e (BENCH.md; conv_impl='matmul' "
+                f"measured WORSE, 0.51-0.67× — r5 conv sweep); ganging "
+                f"anyway for compile amortization. Drop --gang for peak "
+                f"per-run throughput on this model."
             )
 
     def _train_rows():

@@ -61,6 +61,14 @@ class _MatmulConv1d(nn.Module):
     gang table, r4).  Instantiated under the name ``Conv_0`` so the param
     tree is byte-identical to the ``nn.Conv`` path (checkpoints/transplants
     work across both impls).
+
+    Chip verdict (r5, artifacts/bench_gang_resnet9_convsweep_r5.json):
+    this impl LOSES on TPU v5e — ResNet9 sequential 0.79× the nn.Conv
+    path, gangs 0.51-0.67× vs the xla-conv gang's 0.87-0.90×.  The K-step
+    shift-and-matmul decomposition re-reads the padded input K times and
+    XLA's native conv tiling wins even weight-batched.  Kept as an
+    A/B-able negative result (BENCH.md "conv_impl sweep"); do not default
+    to it.
     """
 
     features: int
