@@ -178,20 +178,39 @@ def training_saliency_bins(
 
     Returns (bin_values (B, 14), bin_frames (B, 15)).
     """
+    sal = np.asarray(
+        training_saliency_raw(
+            model_eval, params, batch_stats, data, target_ohe,
+            np.asarray(frames)[:, -1],
+        )
+    )
+    return bin_training_saliency(sal, np.asarray(frames))
+
+
+def training_saliency_raw(
+    model_eval, params, batch_stats, data, target_ohe, end
+):
+    """Device half of :func:`training_saliency_bins`: the smoothed saliency
+    map of the CURRENT model, (B, T).  Pure function of the arrays, so gang
+    mode can ``jax.vmap`` it over member-stacked states (train/gang.py) and
+    bin on host with :func:`bin_training_saliency`."""
     target_hard = jax.nn.one_hot(
         jnp.argmax(target_ohe, axis=1), target_ohe.shape[1], dtype=data.dtype
     )
-    frames = np.asarray(frames)
-    end = jnp.asarray(frames[:, -1])
     # the reference's in-training variant ends up with kernel n=57, σ=7.54
     # (the last of three successive kernel assignments, saliency.py:154-157)
     # and does NOT re-zero the tail after smoothing (saliency.py:158-166)
-    sal = np.asarray(
-        _saliency_core(
-            model_eval.apply, params, batch_stats, data, target_hard, end,
-            57, 7.54, post_zero_tail=False,
-        )
+    return _saliency_core(
+        model_eval.apply, params, batch_stats, data, target_hard,
+        jnp.asarray(end), 57, 7.54, post_zero_tail=False,
     )
+
+
+def bin_training_saliency(
+    sal: np.ndarray, frames: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host half of :func:`training_saliency_bins`: per-segment binning of a
+    precomputed saliency map (saliency.py:177-196 semantics)."""
     B = sal.shape[0]
     nbins = sum(SEGMENT_BINS)
     bin_values = np.zeros((B, nbins), np.float32)

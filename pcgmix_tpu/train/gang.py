@@ -46,10 +46,18 @@ lockstep position, masked to that draw's members).  The (salopt…) and
 (per-member pretrained saliency providers / the shared canonical embedding
 fn — the runner wires both after training the dependency runs), each
 member's hook running on its base-gathered device batch before the vmapped
-update, in both the equal and ragged paths.  Scan fusion applies only to
-hook-free input-space methods, as in train_model.  Out of scope:
-lc-nointrusion and saliency-cutmix (they read the LIVE training model and
-change the batch row count in-loop).
+update, in both the equal and ragged paths.  The LIVE-model methods
+(lc-nointrusion / saliency-cutmix) gang in the EQUAL path: inside a gang
+the "live training model" is the stacked member state itself, so one
+vmapped dispatch per step scores every member's candidate pool (lc, the
+4× fixed-shape pool of augmentations.py:1228-1259) or computes every
+member's current-model saliency map (saliency-cutmix), the host runs each
+member's standalone selection/binning code verbatim, and the vmapped
+update trains on the per-member result — S live-model host round-trips
+per step collapse into one.  Scan fusion applies only to hook-free
+input-space methods, as in train_model.  Out of scope: RAGGED live-model
+gangs (the per-member gates would diverge; train_gang raises and the
+runner falls back to sequential runs).
 :func:`gang_ineligible_reason` reports why a config must fall back to
 :func:`pcgmix_tpu.train.loop.train_model`.
 
@@ -121,10 +129,12 @@ def gang_ineligible_reason(
     if cfg.track_variability:
         return "variability tracking reads per-member host batches"
     spec = parse_method(cfg.method, spectrogram=cfg.spectrogram)
-    if spec.base in ("lc-nointrusion", "saliency-cutmix"):
-        # these read the LIVE training model (loss scoring / saliency bins)
-        # and change the batch row count in-loop
-        return f"{spec.base} changes the batch row count in-loop"
+    # lc-nointrusion / saliency-cutmix ARE gang-eligible (live-model mode):
+    # they read the LIVE training model, which inside a gang is the stacked
+    # member state itself — one vmapped scoring/saliency dispatch per step
+    # feeds per-member host planning, then the vmapped update.  Per-step
+    # dispatch only (like the hook methods); the ragged path raises (equal
+    # split sizes required) and the runner falls back to sequential runs.
     if spec.salopt is not None and not model_hooks:
         return ("saliency planning needs per-member pretrained providers "
                 "(train_gang(saliency_model_providers=…); the runner's "
@@ -488,15 +498,22 @@ def gang_profitable(cfg: TrainConfig, param_threshold: int = 1_000_000) -> bool:
     """Chip-data-backed steady-state profitability heuristic for ganging.
 
     Measured on the real TPU v5e (BENCH.md "Gang training",
-    artifacts/bench_gang_{resnet9,potes}_r4.json): models small enough to
-    leave the MXU idle at batch 64 gang at 2.4× the best sequential config
-    (Potes, 130k params), while MXU-saturating models *lose* 0.79-0.91×
-    (ResNet9, 6M params) because the vmapped per-member-weights convs lower
-    to grouped contractions XLA tiles worse than S dense convs.  The
-    crossover sits between those two points; 1M params is the conservative
-    default.  Advisory only — gangs still amortize per-run tracing/compile
-    and host-side epoch machinery, so the runner gangs when asked and
-    prints this signal rather than overriding the user.
+    artifacts/bench_gang_{resnet9,potes}_r4.json +
+    bench_gang_*_convsweep_r5.json): models small enough to leave the MXU
+    idle at batch 64 gang at 2.4× the best sequential config (Potes, 130k
+    params), while MXU-saturating models *lose* 0.79-0.91× (ResNet9, 6M
+    params; re-measured 0.87-0.90× in the r5 sweep) because the vmapped
+    per-member-weights convs lower to grouped contractions XLA tiles worse
+    than S dense convs.  The purpose-built escape hatch —
+    ``conv_impl="matmul"``, K shifted batched dot_generals — was
+    chip-measured in r5 and LOSES outright (sequential 0.79×, gangs
+    0.51-0.67× vs the xla-conv gang's 0.87-0.90×): XLA's native conv
+    tiling beats the K-matmul decomposition even in the weight-batched
+    case, so the crossover stands.  1M params stays the threshold between
+    the two measured regimes.  Advisory only — gangs still amortize
+    per-run tracing/compile and host-side epoch machinery, so the runner
+    gangs when asked and prints this signal rather than overriding the
+    user.
     """
     _, _, variables = _abstract_variables(cfg, 1)
     params = sum(
@@ -504,6 +521,93 @@ def gang_profitable(cfg: TrainConfig, param_threshold: int = 1_000_000) -> bool:
         for x in jax.tree_util.tree_leaves(variables["params"])
     )
     return params < param_threshold
+
+
+def _live_gang_step(
+    state, engines, batches, idx_s, rows_s, step_count, epoch, rng, *,
+    base_data, base_labels, num_classes, put,
+    sal_vraw, lc_vscore, gang_step, gang_lc_step, gang_step_plain,
+):
+    """One gang step of a LIVE-model method (lc-nointrusion /
+    saliency-cutmix): vmapped current-state scoring/saliency → per-member
+    host planning (each member's standalone host code, verbatim) → vmapped
+    update.  The '+p' gate draw is step-seeded, hence member-uniform."""
+    base_m = engines[0].spec.base
+    if base_m == "saliency-cutmix":
+        from pcgmix_tpu import saliency as saliency_mod
+
+        # lazy: the saliency dispatch only runs if the (member-uniform)
+        # prob gate lets the handler run, exactly like the single-run
+        # lambda (train/loop.py saliency_bins_fn)
+        cache: dict = {}
+
+        def bins_for(s):
+            if "bins" not in cache:
+                frames_s = np.stack([b["frames"] for b in batches])
+                rows_dev = jnp.asarray(rows_s)
+                data_S = jnp.take(base_data, rows_dev, axis=0)
+                target_S = jax.nn.one_hot(
+                    jnp.take(base_labels, rows_dev), num_classes,
+                    dtype=base_data.dtype,
+                )
+                sal_S = np.asarray(sal_vraw(
+                    state.params, state.batch_stats, data_S, target_S,
+                    jnp.asarray(frames_s[:, :, -1]),
+                ))
+                cache["bins"] = [
+                    saliency_mod.bin_training_saliency(sal_S[m], frames_s[m])
+                    for m in range(len(batches))
+                ]
+            return cache["bins"][s]
+
+        plans = [
+            eng.plan(
+                step_count, b["frames"], b["label"], b["wav"],
+                saliency_bins_fn=(lambda s=s: bins_for(s)),
+            )
+            for s, (eng, b) in enumerate(zip(engines, batches))
+        ]
+    else:  # lc-nointrusion: planning itself is model-free
+        plans = [
+            eng.plan(step_count, b["frames"], b["label"], b["wav"])
+            for eng, b in zip(engines, batches)
+        ]
+
+    gates = {p is None for p in plans}
+    if len(gates) != 1:
+        raise RuntimeError(
+            f"step {step_count}: gang members disagree on the live-method "
+            f"'+p' gate — protocol violation"
+        )
+    if plans[0] is None:
+        return gang_step_plain(
+            state, put(idx_s), put(rows_s), None, epoch, rng
+        )
+    arrays = _stack_trees([p.arrays for p in plans])
+    if base_m == "saliency-cutmix":
+        # row-count-preserving concat plan: the regular vmapped aug step
+        return gang_step(
+            state, put(idx_s), put(rows_s), put(arrays), epoch, rng
+        )
+    # lc-nointrusion: one vmapped dispatch scores all members' candidate
+    # pools against their CURRENT params; host selection per member is the
+    # standalone engine.lc_select, SELC scatters by the selected
+    # candidates' source rows (global split-local ids), like train_model
+    losses = np.asarray(lc_vscore(
+        state.params, state.batch_stats, put(rows_s), put(arrays)
+    ))
+    sels, glob = [], []
+    for s, (eng, p, b) in enumerate(zip(engines, plans, batches)):
+        sel = eng.lc_select(
+            losses[s], p.aux["cand_labels"], p.aux["n_per_class"]
+        )
+        sels.append(sel)
+        glob.append(np.asarray(b["indices"])[np.asarray(p.arrays["idx1"])[sel]])
+    arrays = dict(arrays)
+    arrays["lc_sel"] = np.stack(sels)
+    return gang_lc_step(
+        state, put(np.stack(glob)), put(rows_s), put(arrays), epoch, rng
+    )
 
 
 def _finalize_members(cfgs, perfs, run_dirs, state, lr_lists):
@@ -680,6 +784,12 @@ def train_gang(
     # per-depth program (like train_model's latent_steps dict); the depth
     # draw and '+p' gate are step-seeded, hence member-uniform
     latent_mode = enabled and engines[0].spec.latent
+    # live-model methods: the plan/selection reads the CURRENT member state
+    # — per-step dispatch with one vmapped scoring/saliency pass per step
+    lc_mode = enabled and engines[0].spec.base == "lc-nointrusion"
+    live_mode = lc_mode or (
+        enabled and engines[0].spec.base == "saliency-cutmix"
+    )
 
     def _hook_kw(s, rows_np, frames):
         """Frozen-model planning kwargs for member s: the member's device
@@ -717,8 +827,10 @@ def train_gang(
         )
 
     # in latent_mode the input-space raw_step is never dispatched (per-depth
-    # split-forward steps and the plain gated step replace it)
-    gang_step = None if latent_mode else _vmapped(raw_step, enabled)
+    # split-forward steps and the plain gated step replace it); in lc_mode
+    # the 4×-pool apply inside raw_step would train on the whole candidate
+    # pool — the select-then-train step below replaces it
+    gang_step = None if (latent_mode or lc_mode) else _vmapped(raw_step, enabled)
     latent_vsteps: dict = {}  # depth → vmapped per-depth split-forward step
 
     def latent_vstep(depth):
@@ -733,7 +845,7 @@ def train_gang(
         return latent_vsteps[depth]
 
     gang_step_plain = None
-    if latent_mode:
+    if latent_mode or live_mode:
         # gated-off '+p' steps train plain (train_model uses step_plain)
         raw_plain = make_train_step(
             model, tx, selc_es=selc_es,
@@ -741,9 +853,70 @@ def train_gang(
         )._raw_step
         gang_step_plain = _vmapped(raw_plain, False)
 
-    # hook methods dispatch per step: the frozen-model hook must run on the
-    # CURRENT batch before its plan exists, so steps cannot pre-stack
-    scan_k = cfg0.steps_per_dispatch if not (latent_mode or hook_mode) else 1
+    lc_vscore = None       # (S-stacked state, rows, plan) → candidate losses
+    gang_lc_step = None    # select-then-train step (lc-nointrusion)
+    sal_vraw = None        # member-stacked current-model saliency maps
+    if lc_mode:
+        num_classes = cfg0.num_classes
+
+        def _lc_batch(rows):
+            rows = jnp.asarray(rows, jnp.int32)
+            data = jnp.take(base_data, rows, axis=0)
+            target = jax.nn.one_hot(
+                jnp.take(base_labels, rows), num_classes, dtype=base_data.dtype
+            )
+            return data, target
+
+        def _lc_losses(params, bstats, rows, plan):
+            """Candidate-pool per-sample CE of the member's CURRENT model
+            (the single-run sequence engine.apply → make_forward_loss,
+            train/loop.py lc branch, fused into one program)."""
+            data, target = _lc_batch(rows)
+            cands, cand_t = engines[0].apply(data, target, plan)
+            out = model_eval.apply(
+                {"params": params, "batch_stats": bstats}, cands
+            )
+            logp = jax.nn.log_softmax(out, axis=1)
+            return -jnp.sum(logp * cand_t, axis=1)
+
+        lc_vscore = jax.jit(jax.vmap(_lc_losses, in_axes=(0, 0, 0, 0)))
+
+        # direct-data plain step: the selected candidates are rebuilt
+        # IN-STEP (recomputing the cheap mix beats shipping S×4B signals)
+        plain_direct_raw = make_train_step(
+            model, tx, selc_es=selc_es
+        )._raw_step
+
+        def _lc_raw(st, batch, plan, epoch, rng):
+            data, target = _lc_batch(batch["rows"])
+            arrays = {k: v for k, v in plan.items() if k != "lc_sel"}
+            cands, cand_t = engines[0].apply(data, target, arrays)
+            x = jnp.take(cands, plan["lc_sel"], axis=0)
+            t = jnp.take(cand_t, plan["lc_sel"], axis=0)
+            return plain_direct_raw(
+                st, {"data": x, "target_ohe": t, "indices": batch["indices"]},
+                None, epoch, rng,
+            )
+
+        gang_lc_step = _vmapped(_lc_raw, True)
+    elif live_mode:  # saliency-cutmix
+        from pcgmix_tpu import saliency as saliency_mod
+
+        def _sal_raw(params, bstats, data, target, end):
+            return saliency_mod.training_saliency_raw(
+                model_eval, params, bstats, data, target, end
+            )
+
+        sal_vraw = jax.jit(jax.vmap(_sal_raw, in_axes=(0, 0, 0, 0, 0)))
+
+    # hook and live methods dispatch per step: the frozen-model hook / the
+    # live-model scoring must run on the CURRENT batch (and, for live
+    # methods, the CURRENT state) before its plan exists, so steps cannot
+    # pre-stack
+    scan_k = (
+        cfg0.steps_per_dispatch
+        if not (latent_mode or hook_mode or live_mode) else 1
+    )
     gang_multi = None
     if scan_k > 1:
         def member_multi(st, idx_seq, rows_seq, plan_seq, sids, epoch, rng):
@@ -911,6 +1084,19 @@ def train_gang(
                         state, put(idx_s), put(rows_s), put(arrays),
                         epoch, rng,
                     )
+                epoch_losses.append(out["loss"][:, None])
+                epoch_preds.append(out["preds"][:, None])
+                epoch_targets.append(out["target"][:, None])
+            elif live_mode:
+                state, out = _live_gang_step(
+                    state, engines, batches, idx_s, rows_s, step_count,
+                    epoch, jax.random.fold_in(base_key, step_count),
+                    base_data=base_data, base_labels=base_labels,
+                    num_classes=cfg0.num_classes, put=put,
+                    sal_vraw=sal_vraw, lc_vscore=lc_vscore,
+                    gang_step=gang_step, gang_lc_step=gang_lc_step,
+                    gang_step_plain=gang_step_plain,
+                )
                 epoch_losses.append(out["loss"][:, None])
                 epoch_preds.append(out["preds"][:, None])
                 epoch_targets.append(out["target"][:, None])
@@ -1091,6 +1277,19 @@ def _train_gang_ragged(
     reuse their cached identity template and consume no hook work).
     """
     cfg0 = cfgs[0]
+    from pcgmix_tpu.augment.methods import parse_method as _parse
+
+    if _parse(cfg0.method, spectrogram=cfg0.spectrogram).base in (
+        "lc-nointrusion", "saliency-cutmix"
+    ):
+        # ragged members' '+p' gates are seeded by their OWN diverging step
+        # counts, so the one-dispatch live scoring above has no uniform
+        # gate; the runner catches this and falls back to sequential runs
+        raise ValueError(
+            "live-model methods (lc-nointrusion/saliency-cutmix) gang only "
+            "with equal-size members; train these ragged points via "
+            "train_model"
+        )
     S = len(cfgs)
     train_sets = [tr for tr, _ in splits]
     test_sets = [te for _, te in splits]

@@ -232,12 +232,22 @@ def test_gang_bf16_scan_smoke(tiny_dataset, seed_datas):
 
 
 def test_group_gangable_ineligible_are_singletons(tiny_dataset):
-    """Model-in-the-loop configs never share a bucket (each must run via
-    train_model, even when otherwise identical)."""
-    cfgs = [_cfg(method="lc-nointrusion", seed_data=sd)
+    """Ineligible configs (host-side analysis dumps) never share a bucket
+    (each must run via train_model, even when otherwise identical)."""
+    cfgs = [_cfg(classical_space=True, seed_data=sd)
             for sd in (1100001, 1100002)]
     groups = group_gangable(cfgs, tiny_dataset)
     assert [len(g) for g in groups] == [1, 1]
+
+
+def test_group_gangable_groups_live_methods(tiny_dataset):
+    """Live-model methods (lc-nointrusion/saliency-cutmix) now bucket
+    together: the gang's stacked state IS the live model (gang.py
+    live_mode); ragged members raise at train time and fall back."""
+    cfgs = [_cfg(method="lc-nointrusion", seed_data=sd)
+            for sd in (1100001, 1100002)]
+    groups = group_gangable(cfgs, tiny_dataset)
+    assert [len(g) for g in groups] == [2]
 
 
 def test_group_gangable_merges_latent_methods_across_split_sizes(tiny_dataset):
@@ -453,7 +463,7 @@ def test_gang_rejects_mixed_configs(tiny_dataset, seed_datas):
 
 def test_gang_rejects_ineligible_method(tiny_dataset):
     with pytest.raises(ValueError, match="not gang-eligible"):
-        train_gang([_cfg(method="lc-nointrusion")], tiny_dataset)
+        train_gang([_cfg(classical_space=True)], tiny_dataset)
 
 
 def test_ineligible_reasons():
@@ -463,9 +473,10 @@ def test_ineligible_reasons():
     assert gang_ineligible_reason(_cfg(method="latentmixup")) is None
     assert gang_ineligible_reason(_cfg(method="manifold-cutmix")) is None
     assert gang_ineligible_reason(_cfg(checkpoint_every=2)) is None
+    # live-model methods are eligible since round 5 (gang.py live_mode)
+    assert gang_ineligible_reason(_cfg(method="lc-nointrusion")) is None
+    assert gang_ineligible_reason(_cfg(method="saliency-cutmix")) is None
     for bad in (
-        _cfg(method="lc-nointrusion"),
-        _cfg(method="saliency-cutmix"),
         _cfg(method="(saloptenv-1)durratiomixup"),
         _cfg(method="(closestknn=8)durmixmagwarp(0.2,4)"),
         _cfg(classical_space=True),
