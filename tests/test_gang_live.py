@@ -69,6 +69,17 @@ def test_gang_live_prob_gate(tiny_dataset, seed_datas):
     _assert_member_parity(gang, singles, loss_rtol=1e-3, loss_atol=1e-5)
 
 
+def test_gang_live_mesh_matches_single_device(tiny_dataset, seed_datas):
+    """Live-model gang with the member axis sharded over a 2-device mesh:
+    the vmapped scoring dispatch and the update both ride GSPMD sharding
+    propagation and must match the unsharded gang."""
+    cfgs = _members(seed_datas[:2], method="lc-nointrusion",
+                    op="SGD", use_sched=False, num_epochs=2)
+    plain = train_gang(cfgs, tiny_dataset)
+    meshed = train_gang(cfgs, tiny_dataset, n_devices=2)
+    _assert_member_parity(meshed, plain, loss_rtol=1e-3, loss_atol=1e-5)
+
+
 def test_gang_live_ragged_raises(tiny_dataset):
     """Unequal member split sizes route to the ragged path, which does not
     support live methods (diverging per-member gates) — clear error, the
