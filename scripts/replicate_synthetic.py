@@ -211,6 +211,14 @@ def main(argv=None):
         f"{len(low_sds)} subset draws at n_frac {low_nf}, "
         f"{len(full_seeds)} seeds at n_frac {full_nf}).",
         "",
+        "**Scope: this is a MECHANISM replication, not a paper-number "
+        "replication** — the corpus is built (and difficulty-calibrated, "
+        "scripts/calibrate_effect_corpus.py) so segment-aligned mixing "
+        "provably adds information, demonstrating the framework reproduces "
+        "the paper's *effect* end-to-end; the published PhysioNet/UMC "
+        "accuracies (BASELINE.md) remain unverifiable in this environment "
+        "because the real corpora are absent.",
+        "",
         "Table shape matches results_final_full.ipynb cell 4 "
         "(acc mean±SD, relative improvement over vanilla with propagated "
         "error):",
