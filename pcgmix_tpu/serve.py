@@ -231,6 +231,9 @@ class ExportedClassifier(_BatchedPredictor):
 
 
 def main(argv=None):
+    from pcgmix_tpu import utils as _utils
+
+    _utils.enable_compile_cache()  # warm-start tunnel compiles
     p = argparse.ArgumentParser(description="Classify recordings with a checkpoint")
     p.add_argument("--checkpoint", help="flax msgpack checkpoint (live mode)")
     p.add_argument("--artifact", help="StableHLO artifact (.pcgx) to serve from")

@@ -662,6 +662,7 @@ def train_gang(
     """
     if not cfgs:
         raise ValueError("empty gang")
+    utils.enable_compile_cache()  # warm-start the ~10-min tunnel compiles
     _validate_members(cfgs)
     cfg0 = cfgs[0]
     # hook methods are accepted here (providers enforced below); the

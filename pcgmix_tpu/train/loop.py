@@ -224,6 +224,7 @@ def train_model(
     pcgmix_tpu.saliency.make_pretrained_saliency_fn.
     latent_feature_fn(data) → (B, D) embeddings for closestknn/bins pairing.
     """
+    utils.enable_compile_cache()  # warm-start the ~10-min tunnel compiles
     run_dir = None
     if cfg.save_artifacts:
         run_dir = utils.check_folder(experiment_dir(cfg))

@@ -14,6 +14,30 @@ import pickle
 import zlib
 
 
+def enable_compile_cache(
+    path: str = "/tmp/jax_cache", min_secs: float = 5.0
+) -> None:
+    """Persistent XLA compile cache, idempotent and safe to call anywhere
+    before the first compile.
+
+    The production train programs (8-step scan of the fused train step;
+    8-member gang scans) take ~10 minutes to compile COLD over the
+    tunneled-TPU remote-compile service — per PROCESS without this cache.
+    bench.py always had it; wiring it into train_model/train_gang gives
+    every runner/replication/serve process the warm start (cache entries
+    are keyed on program + jaxlib + topology, so staleness self-invalidates).
+    Config updates after backend init still work for these two keys; errors
+    (e.g. read-only filesystem) degrade to cold compiles silently.
+    """
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", min_secs)
+    except Exception:  # noqa: BLE001 - cache is an optimization, never fatal
+        pass
+
+
 def check_folder(save_dir: str) -> str:
     """Create ``save_dir`` if missing and return it (utils.py:7-10)."""
     os.makedirs(save_dir, exist_ok=True)
