@@ -253,6 +253,9 @@ def ragged_overhead(gang_s: int = 8, epochs: int = 3):
 
 def main():
     global MODEL
+    from pcgmix_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()  # warm-start the tunnel compiles across arms
     args = list(sys.argv[1:])
     if "--model" in args:
         i = args.index("--model")
