@@ -104,6 +104,10 @@ class TrainConfig:
                             # underuses the MXU (BENCH.md gang table);
                             # honored by ResNet9-1D/Potes, ignored elsewhere
     eval_batch_size: int = 1000
+    device_cache: bool = True  # reuse committed device buffers for equal-
+                               # content corpora across train_model calls in
+                               # one process (grid members differing only in
+                               # seed re-upload nothing; data/device_cache.py)
     cvd_map: Optional[object] = None  # dict wav→diagnosis, or a cvds_map.csv
                                       # path (augmentations.py:26-28)
     true_seed: Optional[int] = None  # override of the hardcoded train-balance
@@ -334,9 +338,12 @@ def train_model(
     )
     resident = {}
     if use_resident:
+        from pcgmix_tpu.data.device_cache import device_array
+
+        put_corpus = device_array if cfg.device_cache else jnp.asarray
         resident = {
-            "train_data": jnp.asarray(train_ds.data),
-            "train_labels": jnp.asarray(train_ds.label),
+            "train_data": put_corpus(train_ds.data),
+            "train_labels": put_corpus(train_ds.label),
         }
         if mesh is not None:
             # the corpus is tens of MB against 16 GB HBM: replicate it so
@@ -700,9 +707,17 @@ def train_model(
                 ),
             )
             if eval_staged is None:
+                if mesh is not None:
+                    eval_put = put_batch
+                elif cfg.device_cache:
+                    from pcgmix_tpu.data.device_cache import device_array
+
+                    eval_put = device_array
+                else:
+                    eval_put = None
                 eval_staged = stage_eval(
                     test_ds, cfg.eval_batch_size, cfg.num_classes,
-                    device_put=put_batch if mesh is not None else None,
+                    device_put=eval_put,
                 )
             evaluate(cfg, eval_step, state, test_ds, perf,
                      engine.spec.class_majority, staged=eval_staged)
@@ -751,9 +766,13 @@ def train_model(
 def stage_eval(test_ds, eval_batch_size, num_classes, device_put=None):
     """Upload the eval split once: list of (data_dev, target_dev, host_batch).
 
-    Owned by the caller (train_model keeps it for the run's lifetime) so
-    the HBM buffers are released with the run and a reused split object
-    with a different eval_batch_size/num_classes can't see stale buffers.
+    The staged list is owned by the caller (train_model keeps it for the
+    run's lifetime); with the default content-addressed device_put
+    (data/device_cache.device_array) the underlying buffers additionally
+    persist in the process-level LRU so the next grid member's eval
+    staging is transfer-free.  Different eval_batch_size/num_classes slice
+    different byte ranges and therefore hash to different cache keys —
+    stale-buffer reuse is impossible by construction.
     """
     put = device_put or jnp.asarray
     return [
