@@ -201,11 +201,12 @@ def run_grid(
         if not profit_cache[cfg.model] and progress:
             print(
                 f"gang advisory: {cfg.model} saturates the chip alone "
-                f"(≥1M params) — gangs measured 0.79-0.91× sequential "
-                f"steady-state on TPU v5e (BENCH.md; conv_impl='matmul' "
-                f"measured WORSE, 0.51-0.67× — r5 conv sweep); ganging "
-                f"anyway for compile amortization. Drop --gang for peak "
-                f"per-run throughput on this model."
+                f"(≥1M params) — gangs measured 0.87-0.90× sequential "
+                f"STEP throughput on TPU v5e (BENCH.md; conv_impl='matmul' "
+                f"measured WORSE, 0.51-0.67× — r5 conv sweep), but CAMPAIGN "
+                f"wall-clock still favors the gang below ~174 epochs/member "
+                f"(2.6× at 8, 1.63× at 24 — r5 campaign A/B); keeping the "
+                f"gang. Drop --gang only for peak per-run step throughput."
             )
 
     def _train_rows():
@@ -452,9 +453,16 @@ def main(argv=None):
     p.add_argument(
         "--conv-impl", default="xla", choices=["xla", "matmul"],
         help="1-D convolution compute path (same params/math): 'matmul' "
-             "runs convs as shifted batched dot_generals — the gang fast "
-             "path for big conv models, where XLA lowers vmapped-weight "
-             "convs as grouped contractions (BENCH.md gang table)",
+             "runs convs as shifted batched dot_generals.  A/B harness "
+             "only — chip-measured WORSE than 'xla' everywhere, sequential "
+             "and ganged (BENCH.md conv_impl sweep, r5)",
+    )
+    p.add_argument(
+        "--no-device-cache", action="store_true",
+        help="disable the process-level content-addressed device-corpus "
+             "cache (data/device_cache.py) that makes grid members after "
+             "the first re-upload nothing; values are bit-identical either "
+             "way (tests/test_device_cache.py)",
     )
     args = p.parse_args(argv)
 
@@ -480,6 +488,7 @@ def main(argv=None):
         latent_space=args.latent_space,
         true_seed=args.true_seed,
         conv_impl=args.conv_impl,
+        device_cache=not args.no_device_cache,
     )
     run_grid(
         base_cfg,

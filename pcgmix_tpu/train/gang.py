@@ -510,8 +510,15 @@ def gang_profitable(cfg: TrainConfig, param_threshold: int = 1_000_000) -> bool:
     0.51-0.67× vs the xla-conv gang's 0.87-0.90×): XLA's native conv
     tiling beats the K-matmul decomposition even in the weight-batched
     case, so the crossover stands.  1M params stays the threshold between
-    the two measured regimes.  Advisory only — gangs still amortize
-    per-run tracing/compile and host-side epoch machinery, so the runner
+    the two measured regimes.
+
+    Advisory only, and about STEP throughput, not campaign wall-clock:
+    the r5 campaign A/B (scripts/bench_campaign.py, BENCH.md "Campaign-
+    level gang A/B") measured the full runner path and found 8-member
+    ResNet9 gangs 2.6× faster at 8 epochs/member, 1.63× at 24, with the
+    fitted per-epoch slopes reproducing the 0.87-0.90× step ratio and a
+    break-even near E≈174 epochs/member — so at the paper's 50-epoch
+    grids ganging wins campaign wall-clock for every model.  The runner
     gangs when asked and prints this signal rather than overriding the
     user.
     """

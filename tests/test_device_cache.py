@@ -59,6 +59,29 @@ def test_non_numpy_falls_through():
     assert device_cache.stats()["misses"] == 0
 
 
+def test_runner_cli_no_device_cache(tmp_path):
+    """--no-device-cache threads through to TrainConfig: the whole grid
+    run leaves the cache untouched."""
+    from pcgmix_tpu import utils
+    from pcgmix_tpu.exp.runner import main
+
+    ds = synthetic_physionet_dict(
+        num_wavs_train=16, num_wavs_test=6, segments_per_wav=2,
+        sig_len=256, seed=1,
+    )
+    dat = tmp_path / "p.dat"
+    utils.dict2file(ds, str(dat))
+    main([
+        "--dataset-file", str(dat), "--methods", "base",
+        "--n-fractions", "1.0", "--seeds", "1", "--seed-datas", "1100001",
+        "--model", "resnet9-5k", "--num-epochs", "1", "--batch-size", "8",
+        "--no-robust", "--experiments-root", str(tmp_path / "exp"),
+        "--sig-len", "256", "--eval-batch-size", "16", "--n-devices", "1",
+        "--no-device-cache",
+    ])
+    assert device_cache.stats() == {"hits": 0, "misses": 0}
+
+
 def _cfg(seed, cache):
     return TrainConfig(
         model="resnet9-5k", method="durmixmagwarp(0.2,4)", num_epochs=2,
