@@ -725,8 +725,12 @@ def train_gang(
     base_ds = _base_train_dataset(cfg0, dataset)
     member_rows = [np.asarray(tr.rows, np.int64) for tr in train_sets]
     _check_provenance(base_ds, cfgs, train_sets, member_rows)
-    base_data = jnp.asarray(base_ds.data)
-    base_labels = jnp.asarray(base_ds.label)
+    # content-addressed reuse: sub-gang chunks and later grid points share
+    # the same base corpus — skip the re-upload (data/device_cache.py)
+    from pcgmix_tpu.data.device_cache import device_array as _put_corpus
+    put_corpus = _put_corpus if cfg0.device_cache else jnp.asarray
+    base_data = put_corpus(base_ds.data)
+    base_labels = put_corpus(base_ds.label)
 
     needs_sal = engines[0].needs_pretrained_saliency
     needs_lat = engines[0].needs_latent_model
@@ -1331,8 +1335,12 @@ def _train_gang_ragged(
     base_ds = _base_train_dataset(cfg0, dataset)
     member_rows = [np.asarray(tr.rows, np.int64) for tr in train_sets]
     _check_provenance(base_ds, cfgs, train_sets, member_rows)
-    base_data = jnp.asarray(base_ds.data)
-    base_labels = jnp.asarray(base_ds.label)
+    # content-addressed reuse: sub-gang chunks and later grid points share
+    # the same base corpus — skip the re-upload (data/device_cache.py)
+    from pcgmix_tpu.data.device_cache import device_array as _put_corpus
+    put_corpus = _put_corpus if cfg0.device_cache else jnp.asarray
+    base_data = put_corpus(base_ds.data)
+    base_labels = put_corpus(base_ds.label)
 
     dtype = jnp.bfloat16 if cfg0.compute_dtype == "bfloat16" else None
     model = build_model(
