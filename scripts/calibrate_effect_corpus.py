@@ -28,7 +28,10 @@ Flags:
 
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pcgmix_tpu.data import synthetic_effect_dict
 from pcgmix_tpu.train import TrainConfig, train_gang

@@ -43,6 +43,7 @@ import sys
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)  # runnable as `python scripts/...` from anywhere
 
 METHODS = ["base", "durratiomixup", "durmixmagwarp(0.2,4)"]
 LABELS = ["Vanilla", "PCGmix", "PCGmix+"]
